@@ -1,0 +1,256 @@
+"""Llama-2 decoder, TPU-native functional implementation.
+
+Replaces the reference's dependency on the HF transformers fork
+(`moojink/transformers-openvla-oft`, reference pyproject.toml:52): a standard
+Llama-2 stack (RMSNorm -> RoPE attention -> SwiGLU) plus the one non-standard
+feature OFT needs — *block-bidirectional attention over the action-chunk
+tokens* (causal prefix, fully-visible action block), passed in as an explicit
+per-position `bidir_mask` instead of being hidden inside a forked library.
+
+Weight layout: params["layers"] is a *stacked* pytree — every per-layer array
+carries a leading (num_layers,) axis and the forward pass runs under
+`jax.lax.scan`. This compiles 32 layers as one program block (fast compiles),
+makes fsdp/tp sharding rules uniform, and is the idiomatic JAX shape for
+pipeline/parameter sharding.
+
+Matches HF `LlamaModel` numerics: hidden states returned *after* the final
+RMSNorm (the reference slices `hidden_states[-1]`, modeling_prismatic.py:916).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openvla_oft_tpu.config import LlamaConfig
+from openvla_oft_tpu.ops.attention import attention
+from openvla_oft_tpu.ops.layers import init_rms_norm, linear, rms_norm, swiglu
+from openvla_oft_tpu.ops.masks import make_block_bidirectional_mask
+from openvla_oft_tpu.ops.rotary import apply_rope, rope_sin_cos
+
+Params = Dict[str, Any]
+
+
+# === Init ===
+def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Params:
+    """Random init with stacked per-layer arrays (porting overwrites these)."""
+    h, kv = cfg.num_heads, cfg.num_kv_heads
+    d, hd, inter, L = cfg.hidden_size, cfg.head_dim, cfg.intermediate_size, cfg.num_layers
+    ks = jax.random.split(key, 8)
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in ** -0.5).astype(dtype)
+
+    layers = {
+        "attn": {
+            "wq": {"kernel": w(ks[0], (L, d, h * hd), d)},
+            "wk": {"kernel": w(ks[1], (L, d, kv * hd), d)},
+            "wv": {"kernel": w(ks[2], (L, d, kv * hd), d)},
+            "wo": {"kernel": w(ks[3], (L, h * hd, d), h * hd)},
+        },
+        "mlp": {
+            "gate": {"kernel": w(ks[4], (L, d, inter), d)},
+            "up": {"kernel": w(ks[5], (L, d, inter), d)},
+            "down": {"kernel": w(ks[6], (L, inter, d), inter)},
+        },
+        "attn_norm": {"scale": jnp.ones((L, d), dtype)},
+        "mlp_norm": {"scale": jnp.ones((L, d), dtype)},
+    }
+    return {
+        "embed": {"embedding": w(ks[7], (cfg.vocab_size, d), d)},
+        "layers": layers,
+        "final_norm": init_rms_norm(d, dtype),
+        "lm_head": {"kernel": w(ks[7], (d, cfg.vocab_size), d)},
+    }
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed"]["embedding"], input_ids, axis=0)
+
+
+# === Forward ===
+def _block(
+    p: Params,
+    cfg: LlamaConfig,
+    x: jnp.ndarray,
+    sin: jnp.ndarray,
+    cos: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    is_causal: bool,
+    use_flash: bool,
+    bidir_block: Optional[tuple],
+) -> jnp.ndarray:
+    b, s, d = x.shape
+    h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
+    q = linear(p["attn"]["wq"], xa).reshape(b, s, h, hd)
+    k = linear(p["attn"]["wk"], xa).reshape(b, s, kv, hd)
+    v = linear(p["attn"]["wv"], xa).reshape(b, s, kv, hd)
+    q = apply_rope(q, sin, cos)
+    k = apply_rope(k, sin, cos)
+    o = attention(q, k, v, mask=mask, is_causal=is_causal, use_flash=use_flash,
+                  bidir_block=bidir_block)
+    x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
+
+    xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
+    return x + swiglu(p["mlp"], xm)
+
+
+def llama_model(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,
+    padding_mask: Optional[jnp.ndarray] = None,
+    bidir_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
+    bidir_block: Optional[tuple] = None,
+    remat: bool = False,
+    attn_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Run the decoder stack; returns post-final-norm hidden states (B, S, D).
+
+    bidir_mask: (B, S) bool marking action-chunk positions for the OFT mask.
+    bidir_block: static (start, len) window — used by the flash kernel instead
+      of a materialized (S, S) mask when batch padding is absent.
+    attn_mask: fully explicit (B, 1|H, S, S) boolean mask; overrides the
+      mask construction below (used by the inference logical-position layout).
+    """
+    b, s, _ = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    sin, cos = rope_sin_cos(positions, cfg.head_dim, cfg.rope_theta)
+
+    is_causal = False
+    if attn_mask is not None:
+        mask = attn_mask
+    elif use_flash and bidir_block is not None and padding_mask is None:
+        mask = None  # fused inside the kernel
+    elif bidir_mask is not None:
+        pad = padding_mask if padding_mask is not None else jnp.ones((b, s), bool)
+        mask = make_block_bidirectional_mask(pad, bidir_mask)[:, None]  # (B,1,S,S)
+    elif padding_mask is not None:
+        mask = padding_mask[:, None, None, :]
+        is_causal = True
+    else:
+        mask = None
+        is_causal = True
+
+    x = inputs_embeds
+
+    def body(carry, layer_params):
+        y = _block(layer_params, cfg, carry, sin, cos, mask, is_causal, use_flash,
+                   bidir_block)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+
+
+def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project (post-norm) hidden states to vocab logits (fp32)."""
+    return jnp.dot(hidden, params["lm_head"]["kernel"],
+                   preferred_element_type=jnp.float32)
+
+
+# === KV-cache autoregressive path (base-OpenVLA discrete decoding parity) ===
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape KV cache: k/v are (L, B, T_max, Hkv, Dh); index = filled length."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    index: jnp.ndarray  # scalar int32
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "index"],
+                                 meta_fields=[])
+
+
+def llama_prefill(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,
+    cache: KVCache,
+    positions: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Causal prefill that fills the cache; returns (hidden, cache)."""
+    b, s, _ = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    sin, cos = rope_sin_cos(positions, cfg.head_dim, cfg.rope_theta)
+    h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    x = inputs_embeds
+    new_k, new_v = [], []
+
+    def body(carry, layer_params):
+        x = carry
+        p = layer_params
+        xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
+        q = linear(p["attn"]["wq"], xa).reshape(b, s, h, hd)
+        k = linear(p["attn"]["wk"], xa).reshape(b, s, kv, hd)
+        v = linear(p["attn"]["wv"], xa).reshape(b, s, kv, hd)
+        q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
+        o = attention(q, k, v, is_causal=True)
+        x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
+        xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
+        return x + swiglu(p["mlp"], xm), (k.astype(cache.k.dtype),
+                                          v.astype(cache.v.dtype))
+
+    x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
+    new_cache = KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, ks, (0, 0, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(cache.v, vs, (0, 0, 0, 0, 0)),
+        index=jnp.asarray(s, jnp.int32),
+    )
+    return rms_norm(params["final_norm"], x, cfg.rms_norm_eps), new_cache
+
+
+def llama_decode_step(
+    params: Params,
+    cfg: LlamaConfig,
+    token_embed: jnp.ndarray,  # (B, 1, D)
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One cached decode step. Returns (post-norm hidden (B, 1, D), cache)."""
+    b = token_embed.shape[0]
+    h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    t_max = cache.k.shape[2]
+    pos = jnp.broadcast_to(cache.index, (b, 1)).astype(jnp.int32)
+    sin, cos = rope_sin_cos(pos, cfg.head_dim, cfg.rope_theta)
+    valid = (jnp.arange(t_max)[None, :] <= cache.index)[:, None, None, :]  # (1,1,1,T)
+    valid = jnp.broadcast_to(valid, (b, 1, 1, t_max))
+
+    x = token_embed
+
+    def body(carry, inputs):
+        x = carry
+        p, ck, cv = inputs
+        xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
+        q = linear(p["attn"]["wq"], xa).reshape(b, 1, h, hd)
+        k = linear(p["attn"]["wk"], xa).reshape(b, 1, kv, hd)
+        v = linear(p["attn"]["wv"], xa).reshape(b, 1, kv, hd)
+        q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache.index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache.index, 0, 0))
+        o = attention(q, ck, cv, mask=valid)
+        x = x + linear(p["attn"]["wo"], o.reshape(b, 1, h * hd))
+        xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
+        return x + swiglu(p["mlp"], xm), (ck, cv)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    new_cache = KVCache(k=ks, v=vs, index=cache.index + 1)
+    return rms_norm(params["final_norm"], x, cfg.rms_norm_eps), new_cache

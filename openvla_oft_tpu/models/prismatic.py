@@ -1,0 +1,340 @@
+"""Prismatic VLM + OpenVLA action prediction — the model core.
+
+TPU-native redesign of `prismatic/extern/hf/modeling_prismatic.py:317-1087`.
+Two entry paths share one multimodal-assembly contract:
+
+Training forward (`prismatic_forward`) — right-padded batches exactly as the
+reference collator emits them: physical layout
+    [BOS][patches (+proprio)(+diffusion-t)][prompt ... action tokens ... STOP][PAD]
+with action-token embeddings zeroed (L1/discrete) or replaced by projected
+noisy actions (diffusion), labels padded with IGNORE over the patch block, and
+the OFT block-bidirectional attention mask over the action-chunk positions.
+
+Inference (`predict_action_hidden`) — a TPU-first redesign of
+`OpenVLAForActionPrediction.predict_action` (modeling_prismatic.py:946-1060).
+The reference is batch-1 with a dynamic prompt length (one CUDA graph per
+length). Here the prompt is *left-padded* into a static bucket and attention
+runs over explicit logical positions, so one compiled program serves every
+instruction length AND real batches:
+    physical: [patch block][left-padded text][action slots][STOP]
+    logical : BOS=0, patches 1..NP, text k -> NP+k, action m -> NP+n_text+m.
+Attention allows (logical[j] <= logical[i]) for valid keys, plus the
+bidirectional action block; RoPE uses logical positions. For valid tokens this
+is exactly the reference's attention pattern — verified by parity tests.
+
+The action-head input is the hidden states whose *next* token is an action
+slot (the reference's `NUM_PATCHES+NUM_PROMPT_TOKENS` slice start is the last
+prompt token — an intentional next-token-prediction offset, see
+modeling_prismatic.py:916-920). Under the left-padded layout those positions
+are a static slice.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvla_oft_tpu.config import OpenVLAConfig
+from openvla_oft_tpu.constants import (
+    EMPTY_TOKEN_ID,
+    IGNORE_INDEX,
+    STOP_INDEX,
+    NormalizationType,
+    PlatformSpec,
+)
+from openvla_oft_tpu.models import llama as llama_lib
+from openvla_oft_tpu.models.llama import embed_tokens, llama_model, lm_logits
+from openvla_oft_tpu.models.projector import (
+    noisy_action_projector,
+    proprio_projector,
+    vision_projector,
+)
+from openvla_oft_tpu.models.vision_backbone import vision_backbone_forward
+from openvla_oft_tpu.ops.masks import get_all_actions_mask
+
+Params = Dict[str, Any]
+
+
+# === Shared pieces ===
+def _patch_block(
+    params: Params,
+    cfg: OpenVLAConfig,
+    pixels: jnp.ndarray,
+    language_embedding: Optional[jnp.ndarray],
+    proprio: Optional[jnp.ndarray],
+    diffusion_t_emb: Optional[jnp.ndarray],
+    dtype,
+) -> jnp.ndarray:
+    """Vision features -> projector (+proprio token)(+diffusion-t token).
+
+    Reference `_process_vision_features` / `_process_proprio_features`
+    (modeling_prismatic.py:438-459) and the diffusion-t append (:593-598).
+    """
+    film = params.get("film") if cfg.use_film else None
+    feats = vision_backbone_forward(
+        params["vision_backbone"], cfg, pixels,
+        film_params=film, language_embedding=language_embedding)
+    proj = vision_projector(params["projector"], feats).astype(dtype)
+    extra = []
+    if proprio is not None:
+        p_tok = proprio_projector(params["proprio_projector"],
+                                  proprio.astype(jnp.float32))
+        extra.append(p_tok[:, None, :].astype(dtype))
+    if diffusion_t_emb is not None:
+        extra.append(diffusion_t_emb.astype(dtype))  # (B, 1, llm_dim)
+    if extra:
+        proj = jnp.concatenate([proj] + extra, axis=1)
+    return proj
+
+
+def _masked_mean_language_embedding(text_embeds: jnp.ndarray,
+                                    valid: jnp.ndarray) -> jnp.ndarray:
+    """Mean of valid (non-action, non-pad) text embeddings for FiLM
+    (film_vit_wrapper.py:241-242)."""
+    w = valid.astype(jnp.float32)[..., None]
+    s = jnp.sum(text_embeds.astype(jnp.float32) * w, axis=1)
+    return s / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+
+
+# === Training forward ===
+class ForwardOutput(NamedTuple):
+    hidden_states: jnp.ndarray        # (B, S_mm, D) post-final-norm
+    logits: Optional[jnp.ndarray]     # (B, S_mm, V) fp32, or None
+    multimodal_labels: jnp.ndarray    # (B, S_mm)
+    actions_hidden: jnp.ndarray       # (B, chunk_len, D) gathered at action slots
+    all_actions_mask: jnp.ndarray     # (B, S_txt) action positions in text coords
+
+
+def prismatic_forward(
+    params: Params,
+    cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    input_ids: jnp.ndarray,          # (B, S_txt) right-padded
+    attention_mask: jnp.ndarray,     # (B, S_txt) 1 = real
+    pixels: jnp.ndarray,             # (B, N, n_backbones, H, W, 3)
+    labels: jnp.ndarray,             # (B, S_txt) IGNORE outside supervised tail
+    proprio: Optional[jnp.ndarray] = None,
+    noisy_actions: Optional[jnp.ndarray] = None,       # (B, chunk, dim) diffusion
+    diffusion_t_emb: Optional[jnp.ndarray] = None,     # (B, 1, llm_dim)
+    use_flash: bool = False,
+    compute_logits: bool = True,
+    remat: bool = False,
+) -> ForwardOutput:
+    """Reference `PrismaticForConditionalGeneration.forward` multimodal branch
+    (modeling_prismatic.py:575-675) + the fine-tune hidden-state gather
+    (vla-scripts/finetune.py:384-394), fused into one jittable function."""
+    b, s_txt = input_ids.shape
+    dtype = params["llm"]["embed"]["embedding"].dtype
+    pad_mask = attention_mask.astype(bool)
+
+    text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
+    all_actions_mask = get_all_actions_mask(labels, platform.action_dim)
+
+    lang_embedding = None
+    if cfg.use_film:
+        lang_embedding = _masked_mean_language_embedding(
+            text_embeds, ~all_actions_mask & pad_mask)
+
+    patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
+                                diffusion_t_emb, dtype)
+    n_patch = patch_embeds.shape[1]
+
+    if noisy_actions is not None:
+        # Diffusion: scatter projected noisy-action tokens into action slots
+        # (reference `_replace_input_embeddings`, modeling_prismatic.py:399-430).
+        na = noisy_actions.reshape(b, -1)[..., None]                # (B, K, 1)
+        na_feats = noisy_action_projector(params["noisy_action_projector"], na)
+        text_embeds = _scatter_into_mask(text_embeds, all_actions_mask,
+                                         na_feats.astype(dtype))
+    else:
+        text_embeds = text_embeds * (~all_actions_mask)[..., None]
+
+    # Physical layout: [BOS][patch block][rest of text] (insertion after BOS,
+    # reference `_build_multimodal_attention`, modeling_prismatic.py:462-486).
+    mm_embeds = jnp.concatenate(
+        [text_embeds[:, :1], patch_embeds, text_embeds[:, 1:]], axis=1)
+    patch_true = jnp.ones((b, n_patch), bool)
+    mm_pad = jnp.concatenate([pad_mask[:, :1], patch_true, pad_mask[:, 1:]], axis=1)
+    mm_bidir = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), jnp.zeros((b, n_patch), bool),
+         all_actions_mask[:, 1:]], axis=1)
+    ignore = jnp.full((b, n_patch), IGNORE_INDEX, labels.dtype)
+    mm_labels = jnp.concatenate([labels[:, :1], ignore, labels[:, 1:]], axis=1)
+
+    hidden = llama_model(params["llm"], cfg.llm, mm_embeds,
+                         padding_mask=mm_pad, bidir_mask=mm_bidir,
+                         use_flash=use_flash, remat=remat)
+
+    logits = lm_logits(params["llm"], hidden) if compute_logits else None
+
+    # Gather hidden states at positions whose NEXT token is an action token:
+    # shift the multimodal action mask left by one (finetune.py:384-394 uses
+    # `hidden[:, NUM_PATCHES:-1][mask[:, 1:]]`, same semantics).
+    predictor_mask = jnp.concatenate(
+        [mm_bidir[:, 1:], jnp.zeros((b, 1), bool)], axis=1)
+    actions_hidden = _gather_mask_rows(hidden, predictor_mask, platform.chunk_len)
+
+    return ForwardOutput(hidden, logits, mm_labels, actions_hidden, all_actions_mask)
+
+
+def _gather_mask_rows(x: jnp.ndarray, mask: jnp.ndarray, count: int) -> jnp.ndarray:
+    """Per-row gather of the first `count` True positions of `mask` from x.
+
+    Static output shape (B, count, D); rows must contain >= count Trues.
+    """
+    # stable argsort of (not mask) puts True positions first, in order.
+    idx = jnp.argsort(~mask, axis=1, stable=True)[:, :count]
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def _scatter_into_mask(x: jnp.ndarray, mask: jnp.ndarray,
+                       values: jnp.ndarray) -> jnp.ndarray:
+    """Place values[b, k] at the k-th True position of mask[b] in x."""
+    b, s, d = x.shape
+    k = values.shape[1]
+    idx = jnp.argsort(~mask, axis=1, stable=True)[:, :k]  # (B, K)
+    placed = jnp.zeros_like(x).at[jnp.arange(b)[:, None], idx].set(values)
+    return jnp.where(mask[..., None], placed, x)
+
+
+# === Inference: parallel action-chunk decoding ===
+class PredictOutput(NamedTuple):
+    actions_hidden: jnp.ndarray          # (B, chunk_len, D)
+    action_logits: Optional[jnp.ndarray]  # (B, chunk_len, V) fp32 (discrete path)
+
+
+def predict_action_hidden(
+    params: Params,
+    cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    input_ids: jnp.ndarray,        # (B, P) LEFT-padded prompt incl BOS..29871
+    prompt_mask: jnp.ndarray,      # (B, P) 1 = real token
+    pixels: jnp.ndarray,           # (B, N, n_backbones, H, W, 3)
+    proprio: Optional[jnp.ndarray] = None,
+    noisy_actions: Optional[jnp.ndarray] = None,
+    diffusion_t_emb: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
+    compute_logits: bool = False,
+) -> PredictOutput:
+    """One prefill with parallel decoding; returns action-slot hidden states.
+
+    Jit this per static geometry (platform, num_images, prompt bucket P).
+    """
+    b, p_len = input_ids.shape
+    chunk = platform.chunk_len
+    dtype = params["llm"]["embed"]["embedding"].dtype
+    prompt_mask = prompt_mask.astype(bool)
+
+    text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
+    text_embeds = text_embeds * prompt_mask[..., None]
+
+    lang_embedding = None
+    if cfg.use_film:
+        # Reference averages BOS+prompt+STOP embeddings (batch-1, no pads).
+        stop_embed = embed_tokens(
+            params["llm"], jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
+        cat = jnp.concatenate([text_embeds, stop_embed], axis=1)
+        valid = jnp.concatenate([prompt_mask, jnp.ones((b, 1), bool)], axis=1)
+        lang_embedding = _masked_mean_language_embedding(cat, valid)
+
+    patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
+                                diffusion_t_emb, dtype)
+    n_patch = patch_embeds.shape[1]
+
+    if noisy_actions is not None:
+        na = noisy_actions.reshape(b, -1)[..., None]
+        action_embeds = noisy_action_projector(
+            params["noisy_action_projector"], na).astype(dtype)
+    else:
+        action_embeds = jnp.zeros((b, chunk, cfg.llm_dim), dtype)
+    stop_embeds = embed_tokens(
+        params["llm"], jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
+
+    # Physical: [patch block (NP)][text (P, left-padded)][action (chunk)][STOP].
+    embeds = jnp.concatenate([patch_embeds, text_embeds, action_embeds,
+                              stop_embeds], axis=1)
+    s = n_patch + p_len + chunk + 1
+
+    # Logical positions (see module docstring).
+    n_text = jnp.sum(prompt_mask, axis=1, dtype=jnp.int32)         # (B,)
+    pos_in_text = jnp.cumsum(prompt_mask, axis=1, dtype=jnp.int32) - 1
+    logical_text = jnp.where(pos_in_text == 0, 0, pos_in_text + n_patch)
+    logical_patch = jnp.broadcast_to(
+        jnp.arange(1, n_patch + 1, dtype=jnp.int32), (b, n_patch))
+    logical_action = n_text[:, None] + n_patch + jnp.arange(chunk, dtype=jnp.int32)
+    logical_stop = (n_text + n_patch + chunk)[:, None]
+    logical = jnp.concatenate(
+        [logical_patch, logical_text, logical_action, logical_stop], axis=1)
+
+    valid = jnp.concatenate(
+        [jnp.ones((b, n_patch), bool), prompt_mask,
+         jnp.ones((b, chunk + 1), bool)], axis=1)
+    bidir = jnp.concatenate(
+        [jnp.zeros((b, n_patch + p_len), bool), jnp.ones((b, chunk), bool),
+         jnp.zeros((b, 1), bool)], axis=1)
+
+    attn = (logical[:, None, :] <= logical[:, :, None]) & valid[:, None, :]
+    attn = attn | (bidir[:, :, None] & bidir[:, None, :])
+
+    hidden = llama_model(params["llm"], cfg.llm, embeds, positions=logical,
+                         attn_mask=attn[:, None], use_flash=use_flash,
+                         bidir_block=(n_patch + p_len, chunk))
+
+    # Predictor positions: last text slot (the real last prompt token under
+    # left padding) through the second-to-last action slot — a static slice.
+    start = n_patch + p_len - 1
+    actions_hidden = jax.lax.dynamic_slice_in_dim(hidden, start, chunk, axis=1)
+
+    action_logits = None
+    if compute_logits:
+        action_logits = lm_logits(params["llm"], actions_hidden)
+    return PredictOutput(actions_hidden, action_logits)
+
+
+# === Host-side helpers (numpy, outside jit) ===
+def prepare_prompt_ids(tokenizer, instruction: str, bucket: int) -> tuple:
+    """Tokenize the OFT prompt and LEFT-pad to `bucket`.
+
+    Prompt format: reference `get_vla_action` (openvla_utils.py:753) +
+    the 29871 empty-token fixup (modeling_prismatic.py:972-977).
+    """
+    prompt = f"In: What action should the robot take to {instruction.lower()}?\nOut: "
+    ids = tokenizer(prompt, add_special_tokens=True)["input_ids"]
+    if ids[-1] != EMPTY_TOKEN_ID:
+        ids = ids + [EMPTY_TOKEN_ID]
+    if len(ids) > bucket:
+        raise ValueError(f"Prompt length {len(ids)} exceeds bucket {bucket}")
+    pad = bucket - len(ids)
+    input_ids = np.asarray([0] * pad + ids, dtype=np.int32)
+    mask = np.asarray([0] * pad + [1] * len(ids), dtype=np.int32)
+    return input_ids, mask
+
+
+def detokenize_discrete_actions(action_token_ids: np.ndarray,
+                                cfg: OpenVLAConfig,
+                                platform: PlatformSpec) -> np.ndarray:
+    """argmax token ids -> normalized actions (reference
+    modeling_prismatic.py:929-942 / action_tokenizer.py:56-72)."""
+    bins = np.linspace(-1, 1, cfg.n_action_bins)
+    bin_centers = (bins[:-1] + bins[1:]) / 2.0
+    disc = cfg.true_vocab_size - action_token_ids
+    disc = np.clip(disc - 1, 0, bin_centers.shape[0] - 1)
+    return bin_centers[disc].reshape(
+        *action_token_ids.shape[:-1], platform.num_actions_chunk, platform.action_dim)
+
+
+def unnormalize_actions(normalized: np.ndarray, action_stats: dict,
+                        norm_type: NormalizationType) -> np.ndarray:
+    """Reference `_unnormalize_actions` (modeling_prismatic.py:772-791)."""
+    if norm_type == NormalizationType.BOUNDS:
+        low, high = np.asarray(action_stats["min"]), np.asarray(action_stats["max"])
+    elif norm_type == NormalizationType.BOUNDS_Q99:
+        low, high = np.asarray(action_stats["q01"]), np.asarray(action_stats["q99"])
+    else:
+        raise ValueError(f"Unsupported normalization type {norm_type}")
+    mask = np.asarray(action_stats.get("mask", np.ones_like(low, dtype=bool)))
+    return np.where(mask, 0.5 * (normalized + 1) * (high - low + 1e-8) + low,
+                    normalized)

@@ -1,0 +1,201 @@
+"""Vision Transformer featurizer (SigLIP so400m/14 + DINOv2 ViT-L/14-reg4).
+
+TPU-native re-implementation of the timm ViTs the reference drives through
+`PrismaticVisionBackbone` (`prismatic/extern/hf/modeling_prismatic.py:67-227`):
+
+  - patch embedding as patchify+matmul (identical math to the stride-14 conv,
+    but lands directly on the MXU as one large matmul),
+  - optional class + register tokens (DINOv2-reg4) with timm `no_embed_class`
+    position-embedding semantics (pos embed on patch tokens only),
+  - pre-norm blocks with optional LayerScale (the reference renames timm's
+    `gamma` to `scale_factor` for HF compat, modeling_prismatic.py:53-63 — we
+    just call it `scale_factor` in the param tree so ported checkpoints map 1:1),
+  - the OpenVLA feature tap: output of the *second-to-last* block, prefix
+    tokens stripped, no final norm (modeling_prismatic.py:135-137) — we skip
+    the last block entirely since its output is never used,
+  - optional FiLM conditioning (x := x*(1+gamma)+beta between the attention and
+    MLP residual branches, gamma/beta = Linear(mean language embedding) —
+    reference `prismatic/models/film_vit_wrapper.py:69-75`).
+
+Layers are stacked (leading depth axis) and run under `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from openvla_oft_tpu.config import ViTConfig
+from openvla_oft_tpu.ops.attention import attention
+from openvla_oft_tpu.ops.layers import (
+    gelu,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+)
+
+Params = Dict[str, Any]
+
+
+def init_vit_params(key, cfg: ViTConfig, dtype=jnp.bfloat16) -> Params:
+    d, L = cfg.width, cfg.depth
+    ks = jax.random.split(key, 12)
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in ** -0.5).astype(dtype)
+
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    p: Params = {
+        "patch_embed": {"kernel": w(ks[0], (patch_dim, d), patch_dim),
+                        "bias": jnp.zeros((d,), dtype)},
+        "pos_embed": w(ks[1], (cfg.num_patches if cfg.pos_embed_patches_only
+                               else cfg.num_patches + cfg.num_prefix_tokens, d), d),
+        "layers": {
+            "norm1": {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)},
+            "norm2": {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)},
+            "attn": {
+                "qkv": {"kernel": w(ks[2], (L, d, 3 * d), d),
+                        "bias": jnp.zeros((L, 3 * d), dtype)},
+                "proj": {"kernel": w(ks[3], (L, d, d), d),
+                         "bias": jnp.zeros((L, d), dtype)},
+            },
+            "mlp": {
+                "fc1": {"kernel": w(ks[4], (L, d, cfg.mlp_dim), d),
+                        "bias": jnp.zeros((L, cfg.mlp_dim), dtype)},
+                "fc2": {"kernel": w(ks[5], (L, cfg.mlp_dim, d), cfg.mlp_dim),
+                        "bias": jnp.zeros((L, d), dtype)},
+            },
+        },
+    }
+    if cfg.num_cls_tokens:
+        p["cls_token"] = jnp.zeros((cfg.num_cls_tokens, d), dtype)
+    if cfg.num_reg_tokens:
+        p["reg_token"] = jnp.zeros((cfg.num_reg_tokens, d), dtype)
+    if cfg.use_layer_scale:
+        p["layers"]["ls1"] = {"scale_factor": 1e-5 * jnp.ones((L, d), dtype)}
+        p["layers"]["ls2"] = {"scale_factor": 1e-5 * jnp.ones((L, d), dtype)}
+    return p
+
+
+def init_film_params(key, cfg: ViTConfig, llm_dim: int, dtype=jnp.float32) -> Params:
+    """Per-block FiLM scale/shift projectors (film_vit_wrapper.py:53-55)."""
+    k1, k2 = jax.random.split(key)
+    L, d = cfg.depth, cfg.width
+    return {
+        "scale": {"kernel": (jax.random.normal(k1, (L, llm_dim, d)) * llm_dim ** -0.5
+                             ).astype(dtype), "bias": jnp.zeros((L, d), dtype)},
+        "shift": {"kernel": (jax.random.normal(k2, (L, llm_dim, d)) * llm_dim ** -0.5
+                             ).astype(dtype), "bias": jnp.zeros((L, d), dtype)},
+    }
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, N, patch*patch*3), row-major patch grid.
+
+    Flatten order within a patch is (dy, dx, c) — `port_timm_patch_embed` in
+    utils/weights.py permutes the torch conv kernel to match.
+    """
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, p, p, c)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+def _vit_block(
+    p: Params,
+    cfg: ViTConfig,
+    x: jnp.ndarray,
+    film: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """One pre-norm ViT block; `film` = (gamma, beta) stacked (2, B, D) or None."""
+    b, s, d = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    xa = layer_norm(p["norm1"], x)
+    qkv = linear(p["attn"]["qkv"], xa).reshape(b, s, 3, nh, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    o = attention(q, k, v).reshape(b, s, d)
+    o = linear(p["attn"]["proj"], o)
+    if "ls1" in p:
+        o = o * p["ls1"]["scale_factor"]
+    x = x + o
+
+    if film is not None:
+        gamma, beta = film[0], film[1]
+        x = x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
+
+    xm = layer_norm(p["norm2"], x)
+    m = linear(p["mlp"]["fc2"], gelu(linear(p["mlp"]["fc1"], xm)))
+    if "ls2" in p:
+        m = m * p["ls2"]["scale_factor"]
+    return x + m
+
+
+def vit_featurize(
+    params: Params,
+    cfg: ViTConfig,
+    images: jnp.ndarray,
+    film_params: Optional[Params] = None,
+    language_embedding: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B, H, W, 3) normalized pixels -> (B, num_patches, width) features.
+
+    Returns the *second-to-last* block's patch tokens (prefix stripped, no
+    final norm) — the OpenVLA tap. With `film_params` + `language_embedding`
+    (B, llm_dim), applies FiLM modulation in every block.
+    """
+    b = images.shape[0]
+    x = linear(params["patch_embed"], patchify(images, cfg.patch_size))
+
+    if cfg.pos_embed_patches_only:
+        x = x + params["pos_embed"].astype(x.dtype)
+        prefix = []
+        if "cls_token" in params:
+            prefix.append(jnp.broadcast_to(params["cls_token"][None],
+                                           (b,) + params["cls_token"].shape))
+        if "reg_token" in params:
+            prefix.append(jnp.broadcast_to(params["reg_token"][None],
+                                           (b,) + params["reg_token"].shape))
+        if prefix:
+            x = jnp.concatenate(prefix + [x], axis=1).astype(x.dtype)
+    else:
+        prefix = []
+        if "cls_token" in params:
+            prefix.append(jnp.broadcast_to(params["cls_token"][None],
+                                           (b,) + params["cls_token"].shape))
+        if "reg_token" in params:
+            prefix.append(jnp.broadcast_to(params["reg_token"][None],
+                                           (b,) + params["reg_token"].shape))
+        if prefix:
+            x = jnp.concatenate(prefix + [x], axis=1)
+        x = x + params["pos_embed"].astype(x.dtype)
+
+    # Precompute per-block FiLM (gamma, beta): (L, 2, B, width).
+    film_all = None
+    if film_params is not None and language_embedding is not None:
+        le = language_embedding.astype(jnp.float32)
+        gammas = jnp.einsum("bd,lde->lbe", le, film_params["scale"]["kernel"]) \
+            + film_params["scale"]["bias"][:, None, :]
+        betas = jnp.einsum("bd,lde->lbe", le, film_params["shift"]["kernel"]) \
+            + film_params["shift"]["bias"][:, None, :]
+        film_all = jnp.stack([gammas, betas], axis=1).astype(x.dtype)  # (L,2,B,D)
+
+    # Run blocks 0 .. depth-2 (the last block's output is never used).
+    n_run = cfg.depth - 1
+    layers = jax.tree_util.tree_map(lambda a: a[:n_run], params["layers"])
+
+    if film_all is None:
+        def body(carry, lp):
+            return _vit_block(lp, cfg, carry, None), None
+        x, _ = jax.lax.scan(body, x, layers)
+    else:
+        def body(carry, inputs):
+            lp, f = inputs
+            return _vit_block(lp, cfg, carry, f), None
+        x, _ = jax.lax.scan(body, x, (layers, film_all[:n_run]))
+
+    return x[:, cfg.num_prefix_tokens:]

@@ -1,0 +1,87 @@
+"""Functional neural-net layer primitives shared across the model stack.
+
+Design: the whole model core is *functional* — parameters live in nested dicts
+of `jnp.ndarray` (pytrees), and layers are pure functions `f(params, x)`.
+This keeps pjit sharding rules path-based and weight porting trivial, and lets
+XLA fuse aggressively (no framework overhead in the traced graph).
+
+Numerics policy (matches torch reference semantics under bf16 autocast):
+  - matmuls run in the input dtype (bf16 on TPU) with fp32 accumulation
+    (`preferred_element_type`),
+  - normalization statistics are computed in fp32,
+  - softmax is computed in fp32 (see ops/attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ W + b. Weights stored as (in, out) for natural sharding."""
+    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Llama RMSNorm: x * rsqrt(mean(x^2)+eps) * scale, stats in fp32."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    # HF LlamaRMSNorm casts back to input dtype *before* the scale multiply.
+    return normed.astype(x.dtype) * p["scale"].astype(x.dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Standard LayerNorm with learned scale/bias, stats in fp32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf-based) GELU — matches torch nn.GELU() default used by the
+    reference's projectors (`modeling_prismatic.py:243-248`) and timm ViT MLPs."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mlp_gelu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Two-layer GELU MLP: fc1 -> gelu -> fc2 (ViT MLP / ProprioProjector shape)."""
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
+
+
+def swiglu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Llama MLP: down( silu(gate(x)) * up(x) )."""
+    g = linear(p["gate"], x)
+    u = linear(p["up"], x)
+    return linear(p["down"], jax.nn.silu(g) * u)
+
+
+# === Initializers (inference/fine-tune stack; pretrain init lives in training/) ===
+def _dense_init(key, shape, dtype, scale: float = 0.02):
+    return scale * jax.random.normal(key, shape, dtype)
+
+
+def init_linear(key, d_in: int, d_out: int, dtype=jnp.float32, bias: bool = True) -> Params:
+    p: Params = {"kernel": _dense_init(key, (d_in, d_out), dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_layer_norm(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_rms_norm(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype)}

@@ -1,0 +1,125 @@
+"""Golden parity of the JAX Llama against HF transformers (random tiny weights).
+
+The reference model core is HF Llama (via the transformers fork); these tests
+port random HF weights into our stacked pytree and require near-bit agreement
+in fp32, including the OFT block-bidirectional mask (expressed to HF as an
+explicit 4D additive mask).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torch
+
+from openvla_oft_tpu.config import LlamaConfig
+from openvla_oft_tpu.models.llama import (
+    KVCache,
+    embed_tokens,
+    llama_decode_step,
+    llama_model,
+    llama_prefill,
+    lm_logits,
+)
+from openvla_oft_tpu.utils.weights import dict_getter, port_hf_llama
+
+TINY = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                   num_layers=2, num_heads=4, num_kv_heads=4,
+                   max_position_embeddings=512, pad_token_id=0)
+
+
+@pytest.fixture(scope="module")
+def hf_and_jax():
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=TINY.vocab_size, hidden_size=TINY.hidden_size,
+        intermediate_size=TINY.intermediate_size,
+        num_hidden_layers=TINY.num_layers, num_attention_heads=TINY.num_heads,
+        num_key_value_heads=TINY.num_kv_heads, rms_norm_eps=TINY.rms_norm_eps,
+        rope_theta=TINY.rope_theta, attention_bias=False, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = LlamaForCausalLM(hf_cfg).eval()
+    params = {"llm": port_hf_llama(dict_getter(model.state_dict()), TINY)}
+    return model, params
+
+
+def _hf_hidden(model, embeds_t, attention_mask=None):
+    with torch.no_grad():
+        out = model.model(inputs_embeds=embeds_t, attention_mask=attention_mask)
+    return out.last_hidden_state.numpy()
+
+
+def test_causal_forward_matches_hf(hf_and_jax, rng):
+    model, params = hf_and_jax
+    x = rng.standard_normal((2, 9, TINY.hidden_size)).astype(np.float32)
+    ours = llama_model(params["llm"], TINY, jnp.asarray(x))
+    theirs = _hf_hidden(model, torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-5, atol=2e-5)
+
+
+def test_logits_match_hf(hf_and_jax, rng):
+    model, params = hf_and_jax
+    ids = rng.integers(0, TINY.vocab_size, (1, 7))
+    emb = embed_tokens(params["llm"], jnp.asarray(ids))
+    ours = lm_logits(params["llm"], llama_model(params["llm"], TINY, emb))
+    with torch.no_grad():
+        theirs = model(input_ids=torch.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-5, atol=2e-5)
+
+
+def test_padding_mask_matches_hf(hf_and_jax, rng):
+    model, params = hf_and_jax
+    x = rng.standard_normal((2, 8, TINY.hidden_size)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1, 1, 1]])
+    ours = llama_model(params["llm"], TINY, jnp.asarray(x),
+                       padding_mask=jnp.asarray(mask))
+    theirs = _hf_hidden(model, torch.from_numpy(x), torch.from_numpy(mask))
+    # Compare only non-pad positions.
+    sel = mask.astype(bool)
+    np.testing.assert_allclose(np.asarray(ours)[sel], theirs[sel],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_bidirectional_matches_hf_4d_mask(hf_and_jax, rng):
+    """OFT mask: causal prefix + bidirectional action block, vs HF 4D mask."""
+    model, params = hf_and_jax
+    b, s, chunk_start, chunk = 1, 12, 6, 4
+    x = rng.standard_normal((b, s, TINY.hidden_size)).astype(np.float32)
+
+    bidir = np.zeros((b, s), bool)
+    bidir[:, chunk_start:chunk_start + chunk] = True
+    ours = llama_model(params["llm"], TINY, jnp.asarray(x),
+                       bidir_mask=jnp.asarray(bidir))
+
+    causal = np.tril(np.ones((s, s), bool))
+    allowed = causal | (bidir[0][:, None] & bidir[0][None, :])
+    # HF additive 4D float mask: 0 = attend, -inf = blocked.
+    neg = torch.finfo(torch.float32).min
+    mask4d = torch.where(torch.from_numpy(allowed), 0.0, neg)[None, None]
+    theirs = _hf_hidden(model, torch.from_numpy(x), mask4d)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-5, atol=2e-5)
+
+    # Sanity: the bidirectional mask must actually change the result.
+    plain = llama_model(params["llm"], TINY, jnp.asarray(x))
+    assert np.abs(np.asarray(ours) - np.asarray(plain)).max() > 1e-4
+
+
+def test_kv_cache_decode_matches_full_forward(hf_and_jax, rng):
+    _, params = hf_and_jax
+    ids = rng.integers(0, TINY.vocab_size, (1, 10))
+    emb = embed_tokens(params["llm"], jnp.asarray(ids))
+    full = llama_model(params["llm"], TINY, emb)
+
+    cache = KVCache.create(TINY, 1, 16, dtype=jnp.float32)
+    pre, cache = llama_prefill(params["llm"], TINY, emb[:, :6], cache)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(full[:, :6]),
+                               rtol=1e-5, atol=1e-5)
+    outs = []
+    for t in range(6, 10):
+        h, cache = llama_decode_step(params["llm"], TINY, emb[:, t:t + 1], cache)
+        outs.append(np.asarray(h)[:, 0])
+    np.testing.assert_allclose(np.stack(outs, 1), np.asarray(full[:, 6:10]),
+                               rtol=1e-5, atol=1e-5)
