@@ -1,0 +1,213 @@
+"""OpenVLA eval/policy API — signature-compatible with the reference
+`experiments/robot/openvla_utils.py` (get_vla :253, get_processor :380,
+get_proprio_projector :393, get_noisy_action_projector :437, get_action_head
+:463, get_vla_action :711, get_action_from_server :799), implemented on the
+TPU-native stack.
+
+`get_vla` loads an HF-format checkpoint dir into an `OpenVLAPolicy`;
+`get_action_head`/`get_*_projector` import the reference's per-module
+`{name}--{step}_checkpoint.pt` files; `get_vla_action` reproduces the image
+conditioning (JPEG round trip -> lanczos3 resize -> optional 0.9 center crop),
+prompt format, proprio normalization, and open-loop slicing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from openvla_oft_tpu.constants import PlatformSpec, detect_robot_platform
+from openvla_oft_tpu.data.transforms import normalize as _normalize_stats
+from openvla_oft_tpu.policy import OpenVLAPolicy, init_openvla_params
+from openvla_oft_tpu.processing.image_processing import prepare_images_for_policy
+from openvla_oft_tpu.processing.processor import (
+    FakeLlamaTokenizer,
+    PrismaticProcessor,
+    build_prompt,
+)
+from openvla_oft_tpu.serving.server import get_action_from_server  # noqa: F401
+from openvla_oft_tpu.training.checkpoint import (
+    find_checkpoint_file,
+    import_action_head_pt,
+    import_projector_pt,
+)
+
+OPENVLA_IMAGE_SIZE = 224
+
+
+def _platform_from_cfg(cfg: Any) -> PlatformSpec:
+    hint = " ".join(str(getattr(cfg, k, "")) for k in
+                    ("pretrained_checkpoint", "task_suite_name", "unnorm_key",
+                     "dataset_name"))
+    return detect_robot_platform(hint or "libero")
+
+
+def get_vla(cfg: Any) -> OpenVLAPolicy:
+    """Load the OpenVLA policy from `cfg.pretrained_checkpoint`
+    (reference openvla_utils.py:253-377)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openvla_oft_tpu.utils.hf_import import load_openvla_checkpoint
+
+    platform = _platform_from_cfg(cfg)
+    ckpt = str(cfg.pretrained_checkpoint)
+    head = ("l1" if getattr(cfg, "use_l1_regression", True) else
+            "diffusion" if getattr(cfg, "use_diffusion", False) else "discrete")
+    if ckpt.startswith("random:"):
+        from openvla_oft_tpu.config import OpenVLAConfig
+
+        if ckpt == "random:tiny":
+            import openvla_oft_tpu.config as C
+            from openvla_oft_tpu.config import (
+                TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP)
+
+            C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+            C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+            model_cfg = OpenVLAConfig(
+                vision_backbone_id="tiny-dual", llm_backbone_id="tiny-llama",
+                num_images_in_input=getattr(cfg, "num_images_in_input", 1),
+                use_film=getattr(cfg, "use_film", False))
+        else:
+            model_cfg = OpenVLAConfig(
+                num_images_in_input=getattr(cfg, "num_images_in_input", 1),
+                use_film=getattr(cfg, "use_film", False))
+        params = init_openvla_params(
+            jax.random.PRNGKey(0), model_cfg, platform, dtype=jnp.bfloat16,
+            head=head if head != "discrete" else None,
+            with_lm_head=(head == "discrete"))
+        norm_stats = None
+    else:
+        model_cfg, params, norm_stats = load_openvla_checkpoint(
+            ckpt, dtype=jnp.bfloat16)
+        import dataclasses
+
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            num_images_in_input=getattr(cfg, "num_images_in_input", 1),
+            use_film=getattr(cfg, "use_film", False))
+
+    tokenizer = _try_tokenizer(ckpt)
+    return OpenVLAPolicy(
+        cfg=model_cfg, platform=platform, params=params, norm_stats=norm_stats,
+        head=head, tokenizer=tokenizer,
+        num_diffusion_steps_inference=getattr(cfg, "num_diffusion_steps", 50))
+
+
+def _try_tokenizer(ckpt: str):
+    try:
+        from openvla_oft_tpu.processing.processor import load_tokenizer
+
+        return load_tokenizer(ckpt)
+    except Exception:
+        return FakeLlamaTokenizer()
+
+
+def get_processor(cfg: Any) -> PrismaticProcessor:
+    """Reference openvla_utils.py:380-390."""
+    from openvla_oft_tpu.config import OpenVLAConfig
+
+    ckpt = str(cfg.pretrained_checkpoint)
+    if not ckpt.startswith("random:") and os.path.isdir(ckpt):
+        model_cfg, _ = OpenVLAConfig.from_json_file(
+            os.path.join(ckpt, "config.json"))
+    else:
+        model_cfg = OpenVLAConfig()
+    return PrismaticProcessor(model_cfg, _try_tokenizer(ckpt))
+
+
+def get_action_head(cfg: Any, llm_dim: int = 4096):
+    """Load the L1/diffusion head from the checkpoint dir
+    (reference openvla_utils.py:463-513)."""
+    ckpt = str(cfg.pretrained_checkpoint)
+    if getattr(cfg, "use_l1_regression", True):
+        path = find_checkpoint_file(ckpt, "action_head")
+        return import_action_head_pt(path, head="l1")
+    path = find_checkpoint_file(ckpt, "action_head")
+    return import_action_head_pt(path, head="diffusion")
+
+
+def get_proprio_projector(cfg: Any, llm_dim: int = 4096,
+                          proprio_dim: int = 8):
+    """Reference openvla_utils.py:393-434."""
+    path = find_checkpoint_file(str(cfg.pretrained_checkpoint),
+                                "proprio_projector")
+    return import_projector_pt(path, kind="proprio")
+
+
+def get_noisy_action_projector(cfg: Any, llm_dim: int = 4096):
+    """Reference openvla_utils.py:437-460."""
+    path = find_checkpoint_file(str(cfg.pretrained_checkpoint),
+                                "noisy_action_projector")
+    return import_projector_pt(path, kind="noisy_action")
+
+
+def normalize_proprio(proprio: np.ndarray, norm_stats: Dict[str, Any],
+                      norm_type=None) -> np.ndarray:
+    """Reference openvla_utils.py:645-675 (clip to [-1, 1])."""
+    from openvla_oft_tpu.constants import NormalizationType
+
+    nt = norm_type or NormalizationType.BOUNDS_Q99
+    out = _normalize_stats(proprio, norm_stats, nt)
+    return np.clip(out, -1.0, 1.0)
+
+
+def check_image_format(image: np.ndarray) -> None:
+    """Reference openvla_utils.py:625-642."""
+    assert isinstance(image, np.ndarray), "image must be a numpy array"
+    assert image.dtype == np.uint8, f"expected uint8 image, got {image.dtype}"
+    assert image.ndim == 3 and image.shape[-1] == 3, \
+        f"expected (H, W, 3) image, got {image.shape}"
+
+
+def get_vla_action(
+    cfg: Any,
+    vla: OpenVLAPolicy,
+    processor: Any,
+    obs: Dict[str, Any],
+    task_label: str,
+    action_head=None,
+    proprio_projector=None,
+    noisy_action_projector=None,
+    use_film: bool = False,
+) -> List[np.ndarray]:
+    """Predict an action chunk from one observation
+    (reference openvla_utils.py:711-796)."""
+    all_images = [obs["full_image"]]
+    if getattr(cfg, "num_images_in_input", 1) > 1:
+        all_images.extend([obs[k] for k in obs.keys()
+                           if "wrist" in k or "camera_gripper_image" in k])
+    for im in all_images:
+        check_image_format(im)
+
+    pixels = prepare_images_for_policy(
+        all_images, vla.cfg, center_crop=getattr(cfg, "center_crop", True))
+
+    # Inject separately-loaded modules (reference passes them into
+    # predict_action; our policy holds one param tree).
+    if action_head is not None:
+        vla.params["action_head"] = action_head
+    if proprio_projector is not None:
+        vla.params["proprio_projector"] = proprio_projector
+    if noisy_action_projector is not None:
+        vla.params["noisy_action_projector"] = noisy_action_projector
+
+    proprio = None
+    if getattr(cfg, "use_proprio", False):
+        unnorm_key = getattr(cfg, "unnorm_key", None) or \
+            next(iter(vla.norm_stats))
+        proprio = normalize_proprio(
+            np.asarray(obs["state"], np.float32),
+            vla.norm_stats[unnorm_key]["proprio"], vla.platform.norm_type)
+        obs["state"] = proprio
+
+    actions = vla.predict_action(pixels, task_label, proprio=proprio,
+                                 unnorm_key=getattr(cfg, "unnorm_key", None))
+    n = min(len(actions), getattr(cfg, "num_open_loop_steps", len(actions)))
+    return [actions[i] for i in range(n)]

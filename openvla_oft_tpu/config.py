@@ -198,7 +198,8 @@ TINY_SIGLIP = ViTConfig(width=32, depth=3, num_heads=4, mlp_dim=64, patch_size=1
                         image_size=28)
 TINY_DINOV2 = ViTConfig(width=48, depth=3, num_heads=4, mlp_dim=96, patch_size=14,
                         image_size=28, num_cls_tokens=1, num_reg_tokens=4,
-                        use_layer_scale=True, pos_embed_patches_only=True)
+                        use_layer_scale=True, pos_embed_patches_only=True,
+                        mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
 TINY_LLAMA = LlamaConfig(vocab_size=32064, hidden_size=64, intermediate_size=128,
                          num_layers=2, num_heads=4, num_kv_heads=4,
                          max_position_embeddings=4096)

@@ -81,12 +81,11 @@ def sinusoidal_time_encoding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
 def init_diffusion_head(key, platform: PlatformSpec, llm_dim: int = 4096,
                         hidden_dim: int = 4096, num_diffusion_steps: int = 100,
                         dtype=jnp.float32) -> Params:
+    del num_diffusion_steps  # carried in TrainConfig / PolicyConfig, not params
     return {
         "noise_predictor": init_mlp_resnet(
             key, hidden_dim * platform.action_dim, hidden_dim, platform.action_dim,
             dtype=dtype),
-        # static metadata carried beside weights for checkpoint round-trips
-        "_meta": {"num_diffusion_steps": jnp.asarray(num_diffusion_steps)},
     }
 
 

@@ -82,6 +82,8 @@ def _block(
     is_causal: bool,
     use_flash: bool,
     bidir_block: Optional[tuple],
+    key_valid: Optional[jnp.ndarray] = None,
+    bidir_1d: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     b, s, d = x.shape
     h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -93,6 +95,7 @@ def _block(
     q = apply_rope(q, sin, cos)
     k = apply_rope(k, sin, cos)
     o = attention(q, k, v, mask=mask, is_causal=is_causal, use_flash=use_flash,
+                  key_valid=key_valid, bidir_mask=bidir_1d,
                   bidir_block=bidir_block)
     x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
 
@@ -126,10 +129,16 @@ def llama_model(
     sin, cos = rope_sin_cos(positions, cfg.head_dim, cfg.rope_theta)
 
     is_causal = False
+    key_valid = bidir_1d = None
     if attn_mask is not None:
         mask = attn_mask
-    elif use_flash and bidir_block is not None and padding_mask is None:
-        mask = None  # fused inside the kernel
+        use_flash = False  # explicit dense mask -> XLA path
+    elif use_flash:
+        # Masking fused inside the Pallas kernel from 1D vectors.
+        mask = None
+        is_causal = True
+        key_valid = padding_mask.astype(bool) if padding_mask is not None else None
+        bidir_1d = bidir_mask
     elif bidir_mask is not None:
         pad = padding_mask if padding_mask is not None else jnp.ones((b, s), bool)
         mask = make_block_bidirectional_mask(pad, bidir_mask)[:, None]  # (B,1,S,S)
@@ -144,7 +153,7 @@ def llama_model(
 
     def body(carry, layer_params):
         y = _block(layer_params, cfg, carry, sin, cos, mask, is_causal, use_flash,
-                   bidir_block)
+                   bidir_block, key_valid=key_valid, bidir_1d=bidir_1d)
         return y, None
 
     if remat:

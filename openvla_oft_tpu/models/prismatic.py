@@ -13,14 +13,15 @@ the OFT block-bidirectional attention mask over the action-chunk positions.
 Inference (`predict_action_hidden`) — a TPU-first redesign of
 `OpenVLAForActionPrediction.predict_action` (modeling_prismatic.py:946-1060).
 The reference is batch-1 with a dynamic prompt length (one CUDA graph per
-length). Here the prompt is *left-padded* into a static bucket and attention
-runs over explicit logical positions, so one compiled program serves every
-instruction length AND real batches:
-    physical: [patch block][left-padded text][action slots][STOP]
-    logical : BOS=0, patches 1..NP, text k -> NP+k, action m -> NP+n_text+m.
-Attention allows (logical[j] <= logical[i]) for valid keys, plus the
-bidirectional action block; RoPE uses logical positions. For valid tokens this
-is exactly the reference's attention pattern — verified by parity tests.
+length). Here the prompt is *left-padded* into a static bucket so one
+compiled program serves every instruction length AND real batches. A per-row
+gather places the real tokens in their logical order physically:
+    [pads (p)][BOS][patch block (NP)][prompt rest][action slots][STOP]
+so attention is exactly *causal + key-padding + a static bidirectional
+window* over the action slots — the shape the Pallas flash kernel fuses —
+and the action slots sit at a static tail slice. RoPE positions are
+(physical index - pad count). Parity with the reference's physical training
+layout is verified by tests.
 
 The action-head input is the hidden states whose *next* token is an action
 slot (the reference's `NUM_PATCHES+NUM_PROMPT_TOKENS` slice start is the last
@@ -253,39 +254,35 @@ def predict_action_hidden(
     stop_embeds = embed_tokens(
         params["llm"], jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
 
-    # Physical: [patch block (NP)][text (P, left-padded)][action (chunk)][STOP].
-    embeds = jnp.concatenate([patch_embeds, text_embeds, action_embeds,
+    # Assemble [pads|BOS|text_rest|patches|actions|STOP], then a per-row gather
+    # swaps the text_rest and patch blocks so real tokens sit in logical order:
+    # [pads (p)][BOS][patches][text_rest][actions][STOP].
+    staged = jnp.concatenate([text_embeds, patch_embeds, action_embeds,
                               stop_embeds], axis=1)
-    s = n_patch + p_len + chunk + 1
+    s = p_len + n_patch + chunk + 1
+    pad_counts = (p_len - jnp.sum(prompt_mask, axis=1)).astype(jnp.int32)  # (B,)
 
-    # Logical positions (see module docstring).
-    n_text = jnp.sum(prompt_mask, axis=1, dtype=jnp.int32)         # (B,)
-    pos_in_text = jnp.cumsum(prompt_mask, axis=1, dtype=jnp.int32) - 1
-    logical_text = jnp.where(pos_in_text == 0, 0, pos_in_text + n_patch)
-    logical_patch = jnp.broadcast_to(
-        jnp.arange(1, n_patch + 1, dtype=jnp.int32), (b, n_patch))
-    logical_action = n_text[:, None] + n_patch + jnp.arange(chunk, dtype=jnp.int32)
-    logical_stop = (n_text + n_patch + chunk)[:, None]
-    logical = jnp.concatenate(
-        [logical_patch, logical_text, logical_action, logical_stop], axis=1)
+    i = jnp.arange(s, dtype=jnp.int32)[None, :]                     # (1, S)
+    p = pad_counts[:, None]
+    src = jnp.where(
+        i <= p, i,
+        jnp.where(i < p + 1 + n_patch, p_len + (i - (p + 1)),       # patches
+                  jnp.where(i < p_len + n_patch, i - n_patch,       # text rest
+                            i)))                                     # tail
+    embeds = jnp.take_along_axis(staged, src[..., None], axis=1)
 
-    valid = jnp.concatenate(
-        [jnp.ones((b, n_patch), bool), prompt_mask,
-         jnp.ones((b, chunk + 1), bool)], axis=1)
-    bidir = jnp.concatenate(
-        [jnp.zeros((b, n_patch + p_len), bool), jnp.ones((b, chunk), bool),
-         jnp.zeros((b, 1), bool)], axis=1)
+    positions = jnp.maximum(i - p, 0)
+    key_valid = i >= p                                              # (B, S)
+    window = (p_len + n_patch, chunk)                               # static
 
-    attn = (logical[:, None, :] <= logical[:, :, None]) & valid[:, None, :]
-    attn = attn | (bidir[:, :, None] & bidir[:, None, :])
+    bidir = jnp.zeros((b, s), bool).at[:, window[0]:window[0] + chunk].set(True)
+    hidden = llama_model(params["llm"], cfg.llm, embeds, positions=positions,
+                         padding_mask=key_valid, bidir_mask=bidir,
+                         use_flash=use_flash, bidir_block=window)
 
-    hidden = llama_model(params["llm"], cfg.llm, embeds, positions=logical,
-                         attn_mask=attn[:, None], use_flash=use_flash,
-                         bidir_block=(n_patch + p_len, chunk))
-
-    # Predictor positions: last text slot (the real last prompt token under
-    # left padding) through the second-to-last action slot — a static slice.
-    start = n_patch + p_len - 1
+    # Predictor positions: last prompt token (29871) through the second-to-last
+    # action slot — a static tail slice.
+    start = p_len + n_patch - 1
     actions_hidden = jax.lax.dynamic_slice_in_dim(hidden, start, chunk, axis=1)
 
     action_logits = None

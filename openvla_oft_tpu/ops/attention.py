@@ -62,17 +62,29 @@ def attention(
     mask: Optional[jnp.ndarray] = None,
     is_causal: bool = False,
     use_flash: bool = False,
-    bidir_block: Optional[tuple] = None,
+    key_valid: Optional[jnp.ndarray] = None,   # (B, T) bool
+    bidir_mask: Optional[jnp.ndarray] = None,  # (B, S) bool
+    bidir_block: Optional[tuple] = None,       # static (start, len)
 ) -> jnp.ndarray:
-    """Dispatch to the Pallas flash kernel when requested and applicable.
-
-    `bidir_block=(start, length)` describes a static action-chunk window for
-    the fused block-bidirectional mask inside the kernel; when given with
-    `use_flash`, `mask` must be None (padding handled upstream).
-    """
-    if use_flash:
+    """Dispatch between the XLA path (arbitrary `mask`) and the Pallas flash
+    kernel (masking expressed via the 1D `key_valid`/`bidir_mask` vectors —
+    causal + padding + block-bidirectional, never materializing (S, S))."""
+    if use_flash and mask is None:
         from openvla_oft_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, is_causal=is_causal, bidir_block=bidir_block,
-                               mask=mask)
+        return flash_attention(q, k, v, is_causal=is_causal, key_valid=key_valid,
+                               bidir_mask=bidir_mask, bidir_block=bidir_block)
+    if mask is None and (key_valid is not None or bidir_mask is not None):
+        # Build the equivalent dense mask for the XLA path.
+        b, s = q.shape[0], q.shape[1]
+        t = k.shape[1]
+        kv = key_valid if key_valid is not None else jnp.ones((b, t), bool)
+        allow = kv[:, None, :] & jnp.ones((b, s, t), bool)
+        if is_causal:
+            allow = allow & jnp.tril(jnp.ones((s, t), bool), k=t - s)[None]
+            is_causal = False
+        if bidir_mask is not None:
+            allow = allow | (bidir_mask[:, :, None] & bidir_mask[:, None, :]
+                             & kv[:, None, :])
+        mask = allow[:, None]
     return attention_xla(q, k, v, mask=mask, is_causal=is_causal)

@@ -1,0 +1,142 @@
+"""Pallas TPU flash attention with the OFT block-bidirectional mask.
+
+TPU-native replacement for the reference's `flash-attn==2.5.5` CUDA kernels +
+the transformers fork's bidirectional action-token attention (SURVEY.md §2.9).
+
+Design for the OFT regime (S ≈ 600–900 tokens, head_dim 128): each program
+computes one (BQ, D) query block against the FULL key range for its
+(batch, head) — at these lengths K/V and the fp32 score block fit comfortably
+in VMEM, so a single-pass softmax beats an online-softmax loop. Masking is
+built inside the kernel from 1D vectors (never materializing (S, S) in HBM):
+
+    allow[i, j] = (j <= i  AND  key_valid[j])  OR  (bidir[i] AND bidir[j])
+
+which expresses causal attention, left/right padding, and the bidirectional
+action-chunk window in one rule. Fully-masked rows (query padding) emit zeros.
+
+The wrapper pads S to a block multiple and flattens (B, H); grids are
+(B, H, S_pad / BQ). GQA is supported by mapping head -> kv head in the
+BlockSpec index map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *, scale, bq,
+            causal):
+    bi = pl.program_id(0)
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)            # (BQ, D)
+    k = k_ref[0, 0].astype(jnp.float32)            # (T, D)
+    v = v_ref[0, 0].astype(jnp.float32)            # (T, D)
+    t = k.shape[0]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BQ, T)
+
+    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
+    # All 1D->2D reshapes happen on int32 (Mosaic restriction: minor-dim
+    # insertion is unsupported for 1-bit vectors); comparisons come after.
+    valid = valid_ref[0, 0:1, :] > 0                # (1, T) — this batch's row
+    allow = jnp.broadcast_to(valid, (bq, t))
+    if causal:
+        allow = allow & (cols <= rows)
+    bid = bidir_ref[0, 0:1, :] > 0                  # (1, T)
+    q_bid = bidir_ref[0, 0, pl.ds(qi * bq, bq)].reshape(bq, 1) > 0  # (BQ, 1)
+    allow = allow | (q_bid & bid & valid)
+
+    scores = jnp.where(allow, scores, _NEG_INF)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = jnp.where(allow, p, 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,                 # (B, S, H, D)
+    k: jnp.ndarray,                 # (B, T, Hkv, D)
+    v: jnp.ndarray,
+    is_causal: bool = True,
+    key_valid: Optional[jnp.ndarray] = None,   # (B, T) bool
+    bidir_mask: Optional[jnp.ndarray] = None,  # (B, S) bool (S == T)
+    bidir_block: Optional[Tuple[int, int]] = None,  # static (start, len)
+    mask: Optional[jnp.ndarray] = None,  # unsupported here; use XLA path
+    block_q: int = 256,
+) -> jnp.ndarray:
+    """Flash attention for self-attention (S == T). Returns (B, S, H, D)."""
+    assert mask is None, "explicit (S,S) masks use the XLA path"
+    b, s, h, d = q.shape
+    t, hkv = k.shape[1], k.shape[2]
+    assert s == t, "flash kernel is for self-attention prefill"
+
+    if bidir_mask is None:
+        bidir_mask = jnp.zeros((b, s), bool)
+        if bidir_block is not None:
+            w0, wl = bidir_block
+            bidir_mask = bidir_mask.at[:, w0:w0 + wl].set(True)
+    if key_valid is None:
+        key_valid = jnp.ones((b, s), bool)
+
+    bq = min(block_q, _round_up(s, 128))
+    s_pad = _round_up(s, bq)
+    if s_pad != s:
+        pad = s_pad - s
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        key_valid = jnp.pad(key_valid, ((0, 0), (0, pad)))
+        bidir_mask = jnp.pad(bidir_mask, ((0, 0), (0, pad)))
+
+    qt = q.transpose(0, 2, 1, 3)       # (B, H, S, D)
+    kt = k.transpose(0, 2, 1, 3)       # (B, Hkv, S, D)
+    vt = v.transpose(0, 2, 1, 3)
+    # Masks carried as (B, 8, S) int32: a (1, 8, S) block satisfies the TPU
+    # (sublane, lane) tiling constraint while letting the grid's batch index
+    # select the row statically.
+    valid8 = jnp.broadcast_to(key_valid.astype(jnp.int32)[:, None, :], (b, 8, s_pad))
+    bidir8 = jnp.broadcast_to(bidir_mask.astype(jnp.int32)[:, None, :], (b, 8, s_pad))
+    rep = h // hkv
+
+    grid = (b, h, s_pad // bq)
+    kernel = functools.partial(_kernel, scale=d ** -0.5, bq=bq, causal=is_causal)
+    # Interpreter mode off-TPU so the same code path is testable on CPU.
+    interpret = jax.devices()[0].platform not in ("tpu",)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qt, kt, vt, valid8, bidir8)
+
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :s]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,136 @@
+"""Image preprocessing: device-fused JAX path + host TF/PIL parity path.
+
+The reference splits preprocessing across two stages:
+  1. Eval-side conditioning (`experiments/robot/openvla_utils.py:516-622`):
+     JPEG re-encode -> lanczos3 resize to 224 -> optional 0.9-area center crop
+     via `tf.image.crop_and_resize` (matches RLDS training augmentation).
+  2. Processor transform (`prismatic/extern/hf/processing_prismatic.py:128-148`):
+     per-backbone Resize(bicubic, antialias) -> CenterCrop -> scale to [0,1] ->
+     Normalize(mean/std) -> channel-stack [primary(3), fused(3)].
+
+TPU-native default: everything after JPEG runs on device as one jitted
+function (uint8 in, normalized stacked pixels out) — `jax.image.resize`
+supports lanczos3/bicubic with antialiasing. The JPEG round trip (a
+training-data artifact the repo warns matters, LIBERO.md:121) stays on host:
+`jpeg_roundtrip` uses PIL when bit-parity with eval is wanted.
+"""
+
+from __future__ import annotations
+
+import functools
+import io
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvla_oft_tpu.config import OpenVLAConfig, ViTConfig
+
+
+def jpeg_roundtrip(image: np.ndarray, quality: int = 95) -> np.ndarray:
+    """Host-side JPEG encode/decode (openvla_utils.py:516-539 artifact)."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="JPEG", quality=quality)
+    buf.seek(0)
+    return np.asarray(Image.open(buf).convert("RGB"))
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def resize_lanczos3(image: jnp.ndarray, size: int) -> jnp.ndarray:
+    """uint8 (H, W, 3) -> uint8 (size, size, 3), lanczos3 with antialiasing
+    (parity target: tf.image.resize(..., method="lanczos3", antialias=True),
+    the dlimp/eval resize at openvla_utils.py:516-539)."""
+    x = jax.image.resize(image.astype(jnp.float32), (size, size, 3),
+                         method="lanczos3", antialias=True)
+    return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_scale", "batched"))
+def center_crop_resize(image: jnp.ndarray, crop_scale: float = 0.9,
+                       batched: bool = False) -> jnp.ndarray:
+    """Take the centered crop_scale-area crop and resize back to input size
+    (reference `center_crop_image`, openvla_utils.py:542-622, which uses
+    tf.image.crop_and_resize == bilinear sampling of the box)."""
+    if not batched:
+        image = image[None]
+    b, h, w, c = image.shape
+    sqrt_s = float(np.sqrt(crop_scale))
+    # tf.crop_and_resize with normalized box [y1, x1, y2, x2] of side sqrt_s
+    # centered: y1 = (1 - sqrt_s) / 2. Sample grid of h points over the box.
+    y1 = (1.0 - sqrt_s) / 2.0
+    # crop_and_resize samples at y1*(H-1) .. y2*(H-1) inclusive, h points.
+    ys = jnp.linspace(y1 * (h - 1), (y1 + sqrt_s) * (h - 1), h)
+    xs = jnp.linspace(y1 * (w - 1), (y1 + sqrt_s) * (w - 1), w)
+    xf = image.astype(jnp.float32)
+
+    def sample_axis(arr, coords, axis):
+        i0 = jnp.floor(coords).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, arr.shape[axis] - 1)
+        w1 = (coords - i0.astype(jnp.float32))
+        a0 = jnp.take(arr, i0, axis=axis)
+        a1 = jnp.take(arr, i1, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = len(coords)
+        w1 = w1.reshape(shape)
+        return a0 * (1 - w1) + a1 * w1
+
+    out = sample_axis(sample_axis(xf, ys, 1), xs, 2)
+    out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out if batched else out[0]
+
+
+def make_device_transform(cfg: OpenVLAConfig):
+    """Jitted: uint8 (N, H, W, 3) -> (N, n_backbones, 224, 224, 3) normalized.
+
+    Implements the processor transform (resize-naive bicubic+antialias ->
+    [0,1] -> per-backbone mean/std) fused on device. Channel-group order is
+    [primary, fused] matching `processing_prismatic.py:128-148`.
+    """
+    vcfgs: Sequence[ViTConfig] = cfg.vision_configs
+    size = vcfgs[0].image_size
+
+    @jax.jit
+    def transform(images_u8: jnp.ndarray) -> jnp.ndarray:
+        n = images_u8.shape[0]
+        x = images_u8.astype(jnp.float32) / 255.0
+        if x.shape[1] != size or x.shape[2] != size:
+            x = jax.image.resize(x, (n, size, size, 3), method="bicubic",
+                                 antialias=True)
+            x = jnp.clip(x, 0.0, 1.0)
+        outs = []
+        for v in vcfgs:
+            mean = jnp.asarray(v.mean, jnp.float32)
+            std = jnp.asarray(v.std, jnp.float32)
+            outs.append((x - mean) / std)
+        return jnp.stack(outs, axis=1)  # (N, n_backbones, H, W, 3)
+
+    return transform
+
+
+def prepare_images_for_policy(
+    images: Sequence[np.ndarray],
+    cfg: OpenVLAConfig,
+    center_crop: bool = True,
+    use_jpeg_roundtrip: bool = True,
+    resize_size: int = 224,
+) -> np.ndarray:
+    """Full eval-side pipeline (reference `prepare_images_for_vla`,
+    openvla_utils.py:678-708): per image, JPEG round trip -> lanczos3 resize ->
+    optional 0.9 center crop -> processor transform. Returns
+    (N, n_backbones, 224, 224, 3) float32 normalized pixels."""
+    conditioned = []
+    for img in images:
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        if use_jpeg_roundtrip:
+            img = jpeg_roundtrip(img)
+        img = np.asarray(resize_lanczos3(jnp.asarray(img), resize_size))
+        if center_crop:
+            img = np.asarray(center_crop_resize(jnp.asarray(img), 0.9))
+        conditioned.append(img)
+    stack = jnp.asarray(np.stack(conditioned))
+    return np.asarray(make_device_transform(cfg)(stack))

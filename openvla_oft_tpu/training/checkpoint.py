@@ -1,0 +1,100 @@
+"""Checkpointing: Orbax-sharded native format + reference-format interop.
+
+Mirrors the reference's three checkpoint families (SURVEY.md §5.4):
+  1. OFT fine-tune: per-module torch `.pt` files `{name}--{step}_checkpoint.pt`
+     + LoRA adapter + `dataset_statistics.json` (finetune.py:584-675). We keep
+     the per-module decomposition as Orbax sub-trees and import the reference
+     `.pt` files directly (DDP "module." prefixes stripped).
+  2. HF-hub format: config.json + model safetensors — imported by
+     utils/hf_import.load_openvla_checkpoint.
+  3. Native train state (params + optimizer + step) for resume.
+
+Orbax writes sharded arrays directly from the device mesh (no host gather —
+the TPU analog of the reference's FSDP rank0 full-state-dict save).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, tree: Params) -> str:
+    """Save a pytree checkpoint at `{ckpt_dir}/{step}` (sharded-array aware)."""
+    ocp = _ocp()
+    path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, step: int,
+                       template: Optional[Params] = None) -> Params:
+    ocp = _ocp()
+    path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template) if template is not None \
+            else ckptr.restore(path)
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+# === Reference per-module `.pt` interop ===
+def load_module_pt(path: str) -> Dict[str, np.ndarray]:
+    """Load a `{name}--{step}_checkpoint.pt` state dict, DDP prefix stripped
+    (reference loading at openvla_utils.py:201-250)."""
+    import torch
+
+    from openvla_oft_tpu.utils.weights import strip_ddp_prefix
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return strip_ddp_prefix(sd)
+
+
+def find_checkpoint_file(pretrained_dir: str, file_pattern: str) -> str:
+    """Reference `find_checkpoint_file` (openvla_utils.py:436-460): exactly one
+    file in the dir whose name contains `file_pattern`."""
+    matches = [f for f in os.listdir(pretrained_dir) if file_pattern in f
+               and os.path.isfile(os.path.join(pretrained_dir, f))]
+    assert len(matches) == 1, \
+        f"expected exactly 1 '{file_pattern}' checkpoint in {pretrained_dir}, " \
+        f"found {len(matches)}"
+    return os.path.join(pretrained_dir, matches[0])
+
+
+def import_action_head_pt(path: str, head: str = "l1") -> Params:
+    """Port an L1/diffusion action-head `.pt` into our pytree layout."""
+    from openvla_oft_tpu.utils.weights import dict_getter, port_mlp_resnet
+
+    sd = load_module_pt(path)
+    get = dict_getter(sd)
+    if head == "l1":
+        return {"model": port_mlp_resnet(get, "model.")}
+    return {"noise_predictor": port_mlp_resnet(get, "noise_predictor.mlp_resnet.")}
+
+
+def import_projector_pt(path: str, kind: str = "proprio") -> Params:
+    """Port proprio / noisy-action projector `.pt` files."""
+    from openvla_oft_tpu.utils.weights import dict_getter, port_fc_mlp
+
+    sd = load_module_pt(path)
+    get = dict_getter(sd)
+    return port_fc_mlp(get, ("fc1", "fc2"))

@@ -1,0 +1,113 @@
+"""LoRA as auxiliary parameter pytrees (reference: peft wrapping at
+`vla-scripts/finetune.py:862-871` — r=32, alpha=min(r,16), gaussian init,
+target_modules="all-linear").
+
+Functional formulation: LoRA factors live in their own tree mirroring the
+matched base kernels; the merged weight W + (alpha/r) * A @ B is materialized
+*inside* jit each step, so the base stays frozen (no optimizer state for it)
+and XLA fuses the merge with the consuming matmul's prologue. Under the fsdp
+axis the merged copy is sharded like the base weight.
+
+"all-linear" here = every Linear kernel of the LLM blocks, ViT blocks, and the
+vision projector — matching peft's selection (which excludes the embedding and
+the LM head).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# Kernels targeted by "all-linear" on the wrapped VLA.
+DEFAULT_TARGETS = (
+    r"llm/layers/attn/(wq|wk|wv|wo)/kernel$",
+    r"llm/layers/mlp/(gate|up|down)/kernel$",
+    r"vision_backbone/.*/layers/attn/(qkv|proj)/kernel$",
+    r"vision_backbone/.*/layers/mlp/(fc1|fc2)/kernel$",
+    r"projector/fc\d/kernel$",
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _matches(ps: str, targets) -> bool:
+    return any(re.search(t, ps) for t in targets)
+
+
+def init_lora(key, params: Params, rank: int = 32,
+              targets: Tuple[str, ...] = DEFAULT_TARGETS,
+              dtype=jnp.float32) -> Params:
+    """Build {path: {"a", "b"}} factors for every matched kernel.
+
+    Gaussian init (peft `init_lora_weights="gaussian"`): A ~ N(0, 1/r), B = 0.
+    Kernels may carry a leading stacked-layer axis: (L, in, out) -> A (L, in, r),
+    B (L, r, out).
+    """
+    leaves = []
+
+    def visit(path, leaf):
+        ps = _path_str(path)
+        if _matches(ps, targets):
+            leaves.append((ps, leaf.shape))
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params)
+
+    lora: Params = {}
+    keys = jax.random.split(key, max(len(leaves), 1))
+    for (ps, shape), k in zip(leaves, keys):
+        *lead, d_in, d_out = shape
+        a = (jax.random.normal(k, (*lead, d_in, rank), jnp.float32) / rank).astype(dtype)
+        b = jnp.zeros((*lead, rank, d_out), dtype)
+        node = lora
+        parts = ps.split("/")[:-1]  # drop "kernel"
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = {"a": a, "b": b}
+    return lora
+
+
+def apply_lora(params: Params, lora: Params, rank: int = 32,
+               alpha: float = 16.0) -> Params:
+    """Return params with W := W + (alpha/r) * A @ B at every LoRA site."""
+    scale = alpha / rank
+
+    def merge(base_node, lora_node):
+        if isinstance(lora_node, dict) and set(lora_node) == {"a", "b"}:
+            w = base_node["kernel"]
+            a, b = lora_node["a"], lora_node["b"]
+            delta = jnp.einsum("...ir,...ro->...io", a.astype(jnp.float32),
+                               b.astype(jnp.float32)) * scale
+            out = dict(base_node)
+            out["kernel"] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+            return out
+        out = dict(base_node)
+        for k, v in lora_node.items():
+            out[k] = merge(base_node[k], v)
+        return out
+
+    merged = dict(params)
+    for k, v in lora.items():
+        merged[k] = merge(params[k], v)
+    return merged
+
+
+def merge_lora_into_params(params: Params, lora: Params, rank: int = 32,
+                           alpha: float = 16.0) -> Params:
+    """Offline merge (reference `merge_lora_weights_and_save.py:33-73`)."""
+    return apply_lora(params, lora, rank, alpha)

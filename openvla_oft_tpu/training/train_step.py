@@ -1,0 +1,201 @@
+"""Sharded LoRA fine-tuning step (reference `vla-scripts/finetune.py` training
+loop + `run_forward_pass` losses, redesigned for pjit).
+
+One jitted `train_step` covers the three OFT objectives:
+  - "l1":        L1(gt_actions, head(actions_hidden))      (finetune.py:396-400)
+  - "diffusion": MSE(predicted noise, sampled noise)       (finetune.py:402-407)
+  - "discrete":  next-token CE on multimodal labels        (HF loss semantics)
+
+The base VLA is frozen; trainables are {lora, action_head, proprio_projector,
+noisy_action_projector, film} (exactly the modules DDP-wrapped separately in
+the reference, finetune.py:893-932). Optimizer state lives only for the
+trainables and is sharded by the same path rules as parameters (ZeRO analog
+over the fsdp axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from openvla_oft_tpu.config import OpenVLAConfig
+from openvla_oft_tpu.constants import IGNORE_INDEX, PlatformSpec
+from openvla_oft_tpu.models.action_heads import (
+    diffusion_predict_noise,
+    diffusion_sample_noisy_actions,
+    l1_head_predict,
+)
+from openvla_oft_tpu.models.prismatic import prismatic_forward
+from openvla_oft_tpu.training.lora import apply_lora
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Subset of the reference `FinetuneConfig` (finetune.py:79-131) that the
+    compiled step needs. CLI-facing fields live in vla_scripts/finetune.py."""
+
+    objective: str = "l1"                 # "l1" | "diffusion" | "discrete"
+    learning_rate: float = 5e-4
+    num_steps_before_decay: int = 100_000
+    lr_decay_factor: float = 0.1          # MultiStepLR gamma (finetune.py:955-962)
+    warmup_steps: int = 0
+    lora_rank: int = 32
+    lora_alpha: float = 16.0
+    max_grad_norm: float = 0.0            # 0 = no clipping (reference default)
+    use_proprio: bool = True
+    use_film: bool = False
+    num_diffusion_steps: int = 100
+    weight_decay: float = 0.01            # torch AdamW default
+    grad_accumulation_steps: int = 1
+
+
+def lr_schedule(cfg: TrainConfig):
+    """Linear warmup -> constant -> step decay at `num_steps_before_decay`."""
+
+    def fn(step):
+        lr = jnp.asarray(cfg.learning_rate, jnp.float32)
+        if cfg.warmup_steps > 0:
+            warm = jnp.minimum(step / cfg.warmup_steps, 1.0)
+            lr = lr * warm
+        return jnp.where(step >= cfg.num_steps_before_decay,
+                         lr * cfg.lr_decay_factor, lr)
+
+    return fn
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    chain = []
+    if cfg.max_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    chain.append(optax.adamw(lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8,
+                             weight_decay=cfg.weight_decay))
+    tx = optax.chain(*chain)
+    if cfg.grad_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.grad_accumulation_steps)
+    return tx
+
+
+@dataclasses.dataclass
+class TrainState:
+    base_params: Params     # frozen VLA (llm + vision_backbone + projector)
+    trainables: Params      # {lora, action_head, proprio_projector, ...}
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["base_params", "trainables", "opt_state", "step",
+                             "rng"], meta_fields=[])
+
+
+def create_train_state(base_params: Params, trainables: Params,
+                       cfg: TrainConfig, rng) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(base_params, trainables, tx.init(trainables),
+                      jnp.zeros((), jnp.int32), rng)
+
+
+def _merged_params(base: Params, trainables: Params, cfg: TrainConfig) -> Params:
+    params = apply_lora(base, trainables["lora"], cfg.lora_rank, cfg.lora_alpha) \
+        if "lora" in trainables else dict(base)
+    for k in ("proprio_projector", "noisy_action_projector", "film"):
+        if k in trainables:
+            params[k] = trainables[k]
+    return params
+
+
+def loss_and_metrics(
+    trainables: Params,
+    base_params: Params,
+    batch: Dict[str, jnp.ndarray],
+    model_cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    cfg: TrainConfig,
+    rng,
+    use_flash: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    params = _merged_params(base_params, trainables, cfg)
+    gt_actions = batch.get("actions")
+
+    noisy_actions = diffusion_t_emb = noise = None
+    if cfg.objective == "diffusion":
+        nd = diffusion_sample_noisy_actions(
+            trainables["action_head"], rng, gt_actions, platform,
+            llm_dim=model_cfg.llm_dim, num_diffusion_steps=cfg.num_diffusion_steps)
+        noise, noisy_actions = nd["noise"], nd["noisy_actions"]
+        diffusion_t_emb = nd["diffusion_timestep_embeddings"]
+
+    out = prismatic_forward(
+        params, model_cfg, platform,
+        input_ids=batch["input_ids"], attention_mask=batch["attention_mask"],
+        pixels=batch["pixel_values"], labels=batch["labels"],
+        proprio=batch.get("proprio") if cfg.use_proprio else None,
+        noisy_actions=noisy_actions, diffusion_t_emb=diffusion_t_emb,
+        use_flash=use_flash, compute_logits=(cfg.objective == "discrete"),
+        remat=True)
+
+    metrics: Dict[str, jnp.ndarray] = {}
+    if cfg.objective == "l1":
+        pred = l1_head_predict(trainables["action_head"],
+                               out.actions_hidden.astype(jnp.bfloat16), platform)
+        loss = jnp.mean(jnp.abs(gt_actions.astype(jnp.float32)
+                                - pred.astype(jnp.float32)))
+        metrics["curr_action_l1_loss"] = jnp.mean(
+            jnp.abs(gt_actions[:, 0] - pred[:, 0]).astype(jnp.float32))
+        metrics["next_actions_l1_loss"] = jnp.mean(
+            jnp.abs(gt_actions[:, 1:] - pred[:, 1:]).astype(jnp.float32))
+    elif cfg.objective == "diffusion":
+        pred_noise = diffusion_predict_noise(
+            trainables["action_head"], out.actions_hidden.astype(jnp.bfloat16),
+            platform)
+        loss = jnp.mean(jnp.square(pred_noise.astype(jnp.float32)
+                                   - noise.astype(jnp.float32)))
+    elif cfg.objective == "discrete":
+        # HF CausalLM CE: shift logits left / labels right, mean over non-IGNORE.
+        logits = out.logits[:, :-1]
+        labels = out.multimodal_labels[:, 1:]
+        valid = labels != IGNORE_INDEX
+        safe = jnp.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+        preds = jnp.argmax(logits, axis=-1)
+        acc = jnp.sum((preds == labels) & valid) / jnp.maximum(jnp.sum(valid), 1)
+        metrics["token_accuracy"] = acc
+    else:
+        raise ValueError(f"Unknown objective {cfg.objective!r}")
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    model_cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    cfg: TrainConfig,
+    tx: Optional[optax.GradientTransformation] = None,
+    use_flash: bool = False,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step. jit with static (model_cfg, platform, cfg)."""
+    tx = tx if tx is not None else make_optimizer(cfg)
+    rng, step_rng = jax.random.split(state.rng)
+
+    (loss, metrics), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
+        state.trainables, state.base_params, batch, model_cfg, platform, cfg,
+        step_rng, use_flash)
+
+    updates, new_opt = tx.update(grads, state.opt_state, state.trainables)
+    new_trainables = optax.apply_updates(state.trainables, updates)
+    new_state = TrainState(state.base_params, new_trainables, new_opt,
+                           state.step + 1, rng)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics

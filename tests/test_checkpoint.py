@@ -1,0 +1,148 @@
+"""Checkpoint interop tests: HF safetensors export/import round trip,
+reference per-module .pt import, Orbax save/restore."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import openvla_oft_tpu.config as C
+from openvla_oft_tpu.config import OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP
+from openvla_oft_tpu.constants import LIBERO
+from openvla_oft_tpu.policy import init_openvla_params
+from openvla_oft_tpu.training.checkpoint import (
+    import_action_head_pt,
+    import_projector_pt,
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from openvla_oft_tpu.utils.hf_import import (
+    export_openvla_checkpoint,
+    load_openvla_checkpoint,
+)
+
+C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+CFG = OpenVLAConfig(vision_backbone_id="tiny-dual", llm_backbone_id="tiny-llama")
+
+
+def _tree_allclose(a, b, atol=1e-6):
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    b_map = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(flat_a) == len(b_map)
+    for path, leaf in flat_a:
+        other = b_map[path]
+        np.testing.assert_allclose(np.asarray(leaf, np.float32),
+                                   np.asarray(other, np.float32), atol=atol,
+                                   err_msg=str(path))
+
+
+def test_hf_export_import_roundtrip(tmp_path):
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head=None)
+    base = {k: params[k] for k in ("llm", "vision_backbone", "projector")}
+    out = export_openvla_checkpoint(CFG, base, str(tmp_path / "ckpt"),
+                                    norm_stats={"d": {"action": {"min": [0]}}})
+    cfg2, params2, norm_stats = load_openvla_checkpoint(out)
+    assert cfg2.vision_backbone_id == CFG.vision_backbone_id
+    assert norm_stats == {"d": {"action": {"min": [0]}}}
+    _tree_allclose(base, params2)
+
+    # loaded params must drive the model identically
+    from openvla_oft_tpu.models.vit import vit_featurize
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, TINY_DINOV2.image_size,
+                                TINY_DINOV2.image_size, 3)), jnp.float32)
+    a = vit_featurize(base["vision_backbone"]["featurizer"], TINY_DINOV2, x)
+    b = vit_featurize(params2["vision_backbone"]["featurizer"], TINY_DINOV2, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_reference_pt_import(tmp_path):
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    # Rebuild the reference MLPResNet layout (action_heads.py:60-82) in torch.
+    class MLPResNetBlock(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.ffn = nn.Sequential(nn.LayerNorm(dim), nn.Linear(dim, dim),
+                                     nn.ReLU())
+
+        def forward(self, x):
+            return x + self.ffn(x)
+
+    class MLPResNet(nn.Module):
+        def __init__(self, num_blocks, input_dim, hidden_dim, output_dim):
+            super().__init__()
+            self.layer_norm1 = nn.LayerNorm(input_dim)
+            self.fc1 = nn.Linear(input_dim, hidden_dim)
+            self.relu = nn.ReLU()
+            self.mlp_resnet_blocks = nn.ModuleList(
+                [MLPResNetBlock(hidden_dim) for _ in range(num_blocks)])
+            self.layer_norm2 = nn.LayerNorm(hidden_dim)
+            self.fc2 = nn.Linear(hidden_dim, output_dim)
+
+        def forward(self, x):
+            x = self.layer_norm1(x)
+            x = self.relu(self.fc1(x))
+            for blk in self.mlp_resnet_blocks:
+                x = blk(x)
+            return self.fc2(self.layer_norm2(x))
+
+    class L1Head(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = MLPResNet(2, 8 * 16, 32, 7)
+
+    torch.manual_seed(0)
+    head = L1Head()
+    # simulate DDP prefix as the reference saves it
+    sd = {f"module.{k}": v for k, v in head.state_dict().items()}
+    path = tmp_path / "action_head--1000_checkpoint.pt"
+    torch.save(sd, str(path))
+
+    ours = import_action_head_pt(str(path), head="l1")
+    x = torch.randn(3, 8, 8 * 16)
+    with torch.no_grad():
+        ref = head.model(x).numpy()
+    from openvla_oft_tpu.models.action_heads import mlp_resnet
+
+    got = np.asarray(mlp_resnet(ours["model"], jnp.asarray(x.numpy())))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # proprio projector .pt
+    class Proprio(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(8, 16)
+            self.fc2 = nn.Linear(16, 16)
+            self.act_fn1 = nn.GELU()
+
+        def forward(self, x):
+            return self.fc2(self.act_fn1(self.fc1(x)))
+
+    pp = Proprio()
+    ppath = tmp_path / "proprio_projector--1000_checkpoint.pt"
+    torch.save(pp.state_dict(), str(ppath))
+    ours_pp = import_projector_pt(str(ppath))
+    from openvla_oft_tpu.models.projector import proprio_projector
+
+    xp = torch.randn(4, 8)
+    with torch.no_grad():
+        refp = pp(xp).numpy()
+    gotp = np.asarray(proprio_projector(ours_pp, jnp.asarray(xp.numpy())))
+    np.testing.assert_allclose(gotp, refp, rtol=1e-5, atol=1e-5)
+
+
+def test_orbax_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(12.0).reshape(3, 4),
+            "nested": {"b": jnp.ones((2, 2), jnp.bfloat16)}}
+    d = str(tmp_path / "ckpts")
+    save_checkpoint(d, 100, tree)
+    assert latest_step(d) == 100
+    restored = restore_checkpoint(d, 100, template=tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
+    assert restored["nested"]["b"].dtype == jnp.bfloat16

@@ -1,0 +1,105 @@
+"""Data pipeline tests: chunking semantics, normalization rules, batch
+transform token/label contract, collator bucketing."""
+
+import numpy as np
+import pytest
+
+import openvla_oft_tpu.config as C
+from openvla_oft_tpu.config import OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP
+from openvla_oft_tpu.constants import (
+    IGNORE_INDEX,
+    LIBERO,
+    STOP_INDEX,
+    NormalizationType,
+)
+from openvla_oft_tpu.data.collator import PaddedCollatorForActionPrediction, batch_iterator
+from openvla_oft_tpu.data.datasets import DummyDataset, RLDSBatchTransform
+from openvla_oft_tpu.data.transforms import (
+    binarize_gripper_actions,
+    chunk_actions,
+    compute_dataset_statistics,
+    load_dataset_statistics,
+    normalize,
+    save_dataset_statistics,
+)
+from openvla_oft_tpu.processing.action_tokenizer import ActionTokenizer
+from openvla_oft_tpu.processing.processor import PrismaticProcessor
+
+C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+CFG = OpenVLAConfig(vision_backbone_id="tiny-dual", llm_backbone_id="tiny-llama")
+
+
+def test_chunk_actions_caps_at_trajectory_end():
+    t, d, future = 10, 3, 4
+    actions = np.arange(t)[:, None].repeat(d, 1).astype(np.float32)
+    chunks = chunk_actions(actions, window_size=1, future_action_window_size=future)
+    assert chunks.shape == (t - future, 1 + future, d)
+    # first frame: [0, 1, 2, 3, 4]
+    np.testing.assert_array_equal(chunks[0, :, 0], [0, 1, 2, 3, 4])
+    # last effective frame (5): [5, 6, 7, 8, 9]; frame 5+4=9 == last
+    np.testing.assert_array_equal(chunks[-1, :, 0], [5, 6, 7, 8, 9])
+
+
+def test_normalize_bounds_q99_and_degenerate_dims():
+    stats = {"min": [0.0, 0.0, 5.0], "max": [10.0, 10.0, 5.0],
+             "q01": [1.0, 1.0, 5.0], "q99": [9.0, 9.0, 5.0],
+             "mask": [True, False, True]}
+    x = np.asarray([[5.0, 5.0, 5.0]])
+    out = normalize(x, stats, NormalizationType.BOUNDS_Q99)
+    assert abs(out[0, 0] - 0.0) < 1e-6          # (5-1)/(8)*2-1 = 0
+    assert out[0, 1] == 5.0                     # masked dim passes through
+    assert out[0, 2] == 0.0                     # degenerate dim -> 0
+    out2 = normalize(np.asarray([[100.0, 0, 5]]), stats, NormalizationType.BOUNDS)
+    assert out2[0, 0] == 1.0                    # clipped
+
+
+def test_binarize_gripper():
+    a = np.asarray([1.0, 0.97, 0.5, 0.02, 0.01, 0.6, 1.0])
+    out = binarize_gripper_actions(a)
+    np.testing.assert_array_equal(out, [1, 1, 0, 0, 0, 1, 1])
+
+
+def test_statistics_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    actions = rng.uniform(-2, 2, (500, 7))
+    stats = {"dummy_dataset": compute_dataset_statistics(actions,
+                                                         rng.random((500, 8)))}
+    path = save_dataset_statistics(stats, str(tmp_path))
+    loaded = load_dataset_statistics(path)
+    assert loaded["dummy_dataset"]["action"]["q99"] == \
+        stats["dummy_dataset"]["action"]["q99"]
+    assert loaded["dummy_dataset"]["num_transitions"] == 500
+
+
+def test_batch_transform_and_collator():
+    proc = PrismaticProcessor(CFG)
+    transform = RLDSBatchTransform(proc, ActionTokenizer(), LIBERO)
+    ds = DummyDataset(transform, image_size=TINY_DINOV2.image_size,
+                      num_samples=4, num_images=2)
+    examples = list(ds)
+    ex = examples[0]
+    chunk = LIBERO.chunk_len
+    # labels: exactly chunk_len + 1 supervised tokens, rest IGNORE
+    supervised = (ex["labels"] != IGNORE_INDEX).sum()
+    assert supervised == chunk + 1
+    assert ex["labels"][-1] == STOP_INDEX
+    assert (ex["input_ids"][-1 - chunk:-1] > 31743).all()
+    assert ex["pixel_values"].shape[0] == 2  # primary + wrist
+    assert ex["proprio"].shape == (LIBERO.proprio_dim,)
+    # round-trip: action ids decode back to the (quantized) actions
+    at = ActionTokenizer()
+    decoded = at.decode_token_ids_to_actions(
+        ex["input_ids"][-1 - chunk:-1]).reshape(LIBERO.num_actions_chunk,
+                                                LIBERO.action_dim)
+    assert np.abs(decoded - ex["actions"]).max() <= (2 / 255) / 2 + 1e-9
+
+    coll = PaddedCollatorForActionPrediction()
+    batches = list(batch_iterator(ds, 2, coll))
+    assert len(batches) == 2
+    b0 = batches[0]
+    assert b0["input_ids"].shape[1] % 8 == 0
+    assert b0["pixel_values"].shape[:3] == (2, 2, 2)
+    assert (b0["attention_mask"].sum(1) > 0).all()
+    # labels padded with IGNORE
+    assert (b0["labels"][b0["attention_mask"] == 0] == IGNORE_INDEX).all()

@@ -1,0 +1,87 @@
+"""Pallas flash-attention kernel vs the XLA reference path (interpret mode on
+CPU; the identical kernel runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from openvla_oft_tpu.ops.attention import attention, attention_xla
+from openvla_oft_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(rng, b=2, s=70, h=4, d=128, hkv=None):
+    hkv = hkv or h
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    return q, k, v
+
+
+def _dense_from_1d(key_valid, bidir, s, causal=True):
+    allow = key_valid[:, None, :] & jnp.ones((key_valid.shape[0], s, s), bool)
+    if causal:
+        allow = allow & jnp.tril(jnp.ones((s, s), bool))[None]
+    if bidir is not None:
+        allow = allow | (bidir[:, :, None] & bidir[:, None, :]
+                         & key_valid[:, None, :])
+    return allow[:, None]
+
+
+def test_flash_causal_matches_xla(rng):
+    q, k, v = _qkv(rng)
+    out = flash_attention(q, k, v, is_causal=True)
+    ref = attention_xla(q, k, v, is_causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_padding_and_window(rng):
+    b, s = 2, 70
+    q, k, v = _qkv(rng, b=b, s=s)
+    key_valid = jnp.asarray(np.stack([
+        np.r_[np.zeros(9), np.ones(s - 9)],
+        np.r_[np.zeros(0), np.ones(s)]]).astype(bool))
+    bidir = jnp.zeros((b, s), bool).at[:, 50:60].set(True)
+
+    out = flash_attention(q, k, v, is_causal=True, key_valid=key_valid,
+                          bidir_mask=bidir)
+    ref = attention_xla(q, k, v, mask=_dense_from_1d(key_valid, bidir, s))
+    valid_q = np.asarray(key_valid)
+    np.testing.assert_allclose(np.asarray(out)[valid_q], np.asarray(ref)[valid_q],
+                               rtol=2e-5, atol=2e-5)
+    # the window must actually matter
+    ref_nowin = attention_xla(q, k, v, mask=_dense_from_1d(key_valid, None, s))
+    assert np.abs(np.asarray(out) - np.asarray(ref_nowin))[valid_q].max() > 1e-3
+
+
+def test_flash_static_window_equals_mask_window(rng):
+    q, k, v = _qkv(rng, s=64)
+    out_block = flash_attention(q, k, v, is_causal=True, bidir_block=(40, 12))
+    bidir = jnp.zeros((2, 64), bool).at[:, 40:52].set(True)
+    out_mask = flash_attention(q, k, v, is_causal=True, bidir_mask=bidir)
+    np.testing.assert_allclose(np.asarray(out_block), np.asarray(out_mask),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_flash_gqa(rng):
+    q, k, v = _qkv(rng, h=8, hkv=2)
+    out = flash_attention(q, k, v, is_causal=True)
+    ref = attention_xla(q, k, v, is_causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_attention_dispatch_1d_masks_consistent(rng):
+    """attention(use_flash=False) with 1D masks equals flash path."""
+    b, s = 2, 40
+    q, k, v = _qkv(rng, b=b, s=s, d=128)
+    key_valid = jnp.ones((b, s), bool).at[0, :5].set(False)
+    bidir = jnp.zeros((b, s), bool).at[:, 30:38].set(True)
+    xla = attention(q, k, v, is_causal=True, key_valid=key_valid,
+                    bidir_mask=bidir, use_flash=False)
+    fla = attention(q, k, v, is_causal=True, key_valid=key_valid,
+                    bidir_mask=bidir, use_flash=True)
+    sel = np.asarray(key_valid)
+    np.testing.assert_allclose(np.asarray(fla)[sel], np.asarray(xla)[sel],
+                               rtol=2e-5, atol=2e-5)

@@ -1,0 +1,106 @@
+"""Deploy OpenVLA as an HTTP action server (reference `vla-scripts/deploy.py`).
+
+Same CLI fields as the reference `DeployConfig` (deploy.py:110-144); serves
+POST /act with the json-numpy wire format. Works against unmodified reference
+eval clients (e.g. the ALOHA client, `run_aloha_eval.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from pathlib import Path
+from typing import Optional, Union
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@dataclasses.dataclass
+class DeployConfig:
+    # fmt: off
+    host: str = "0.0.0.0"
+    port: int = 8777
+
+    model_family: str = "openvla"
+    pretrained_checkpoint: Union[str, Path] = ""
+
+    use_l1_regression: bool = True
+    use_diffusion: bool = False
+    num_diffusion_steps: int = 50
+    use_film: bool = False
+    num_images_in_input: int = 3
+    use_proprio: bool = True
+
+    center_crop: bool = True
+    num_open_loop_steps: int = 25
+
+    unnorm_key: Union[str, Path] = ""
+    use_relative_actions: bool = False
+
+    load_in_8bit: bool = False
+    load_in_4bit: bool = False
+
+    seed: int = 7
+    # fmt: on
+
+
+class OpenVLAServer:
+    """Reference `OpenVLAServer` (deploy.py:47-107) on the TPU policy stack."""
+
+    def __init__(self, cfg: DeployConfig):
+        from experiments.robot.openvla_utils import (
+            get_action_head,
+            get_processor,
+            get_proprio_projector,
+            get_vla,
+            get_vla_action,
+        )
+        from openvla_oft_tpu.serving.server import ActionServer
+
+        self.cfg = cfg
+        self.vla = get_vla(cfg)
+        self.proprio_projector = None
+        if cfg.use_proprio:
+            try:
+                self.proprio_projector = get_proprio_projector(
+                    cfg, self.vla.cfg.llm_dim, self.vla.platform.proprio_dim)
+            except (AssertionError, FileNotFoundError):
+                pass  # projector may already live in the main checkpoint
+        self.action_head = None
+        if cfg.use_l1_regression or cfg.use_diffusion:
+            try:
+                self.action_head = get_action_head(cfg, self.vla.cfg.llm_dim)
+            except (AssertionError, FileNotFoundError):
+                pass
+        if cfg.unnorm_key and self.vla.norm_stats:
+            assert str(cfg.unnorm_key) in self.vla.norm_stats, \
+                f"Action un-norm key {cfg.unnorm_key} not found in norm_stats!"
+        self.processor = get_processor(cfg)
+        self._get_vla_action = get_vla_action
+        self._server = ActionServer(self.predict)
+
+    def predict(self, observation, instruction):
+        import numpy as np
+
+        actions = self._get_vla_action(
+            self.cfg, self.vla, self.processor, observation, instruction,
+            action_head=self.action_head,
+            proprio_projector=self.proprio_projector,
+            use_film=self.cfg.use_film)
+        return np.stack(actions)
+
+    def run(self, host=None, port=None, background: bool = False):
+        return self._server.run(host or self.cfg.host, port or self.cfg.port,
+                                background=background)
+
+
+def deploy(cfg: DeployConfig) -> None:
+    server = OpenVLAServer(cfg)
+    print(f"[deploy] serving /act on {cfg.host}:{cfg.port}")
+    server.run()
+
+
+if __name__ == "__main__":
+    from openvla_oft_tpu.utils.cli import parse_args
+
+    deploy(parse_args(DeployConfig))
