@@ -141,7 +141,13 @@ class OpenVLAConfig:
 
     @property
     def vision_configs(self) -> Tuple[ViTConfig, ...]:
-        return _VISION_REGISTRY[self.vision_backbone_id]
+        try:
+            return _VISION_REGISTRY[self.vision_backbone_id]
+        except KeyError:
+            raise KeyError(
+                f"Unknown vision_backbone_id {self.vision_backbone_id!r}; "
+                f"registered: {sorted(_VISION_REGISTRY)}. Register custom "
+                f"architectures in openvla_oft_tpu.config._VISION_REGISTRY.")
 
     @property
     def use_fused_vision_backbone(self) -> bool:
@@ -149,7 +155,13 @@ class OpenVLAConfig:
 
     @property
     def llm(self) -> LlamaConfig:
-        return _LLM_REGISTRY[self.llm_backbone_id]
+        try:
+            return _LLM_REGISTRY[self.llm_backbone_id]
+        except KeyError:
+            raise KeyError(
+                f"Unknown llm_backbone_id {self.llm_backbone_id!r}; "
+                f"registered: {sorted(_LLM_REGISTRY)}. Register custom "
+                f"architectures in openvla_oft_tpu.config._LLM_REGISTRY.")
 
     @property
     def vision_dim(self) -> int:

@@ -171,20 +171,23 @@ def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
 # === KV-cache autoregressive path (base-OpenVLA discrete decoding parity) ===
 @dataclasses.dataclass
 class KVCache:
-    """Static-shape KV cache: k/v are (L, B, T_max, Hkv, Dh); index = filled length."""
+    """Static-shape KV cache: k/v are (L, B, T_max, Hkv, Dh); index = filled
+    length; valid marks real (non-pad) cached positions."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     index: jnp.ndarray  # scalar int32
+    valid: jnp.ndarray  # (B, T_max) bool
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                   jnp.zeros((), jnp.int32))
+                   jnp.zeros((), jnp.int32), jnp.zeros((batch, max_len), bool))
 
 
-jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "index"],
+jax.tree_util.register_dataclass(KVCache,
+                                 data_fields=["k", "v", "index", "valid"],
                                  meta_fields=[])
 
 
@@ -194,16 +197,22 @@ def llama_prefill(
     inputs_embeds: jnp.ndarray,
     cache: KVCache,
     positions: Optional[jnp.ndarray] = None,
+    key_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Causal prefill that fills the cache; returns (hidden, cache)."""
+    """Causal prefill that fills the cache; returns (hidden, cache).
+
+    key_valid: (B, S) bool — False for (left-)padded positions, which are
+    excluded as attention keys now and in later decode steps.
+    """
     b, s, _ = inputs_embeds.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     sin, cos = rope_sin_cos(positions, cfg.head_dim, cfg.rope_theta)
     h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if key_valid is None:
+        key_valid = jnp.ones((b, s), bool)
 
     x = inputs_embeds
-    new_k, new_v = [], []
 
     def body(carry, layer_params):
         x = carry
@@ -213,7 +222,7 @@ def llama_prefill(
         k = linear(p["attn"]["wk"], xa).reshape(b, s, kv, hd)
         v = linear(p["attn"]["wv"], xa).reshape(b, s, kv, hd)
         q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
-        o = attention(q, k, v, is_causal=True)
+        o = attention(q, k, v, is_causal=True, key_valid=key_valid)
         x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
         xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
         return x + swiglu(p["mlp"], xm), (k.astype(cache.k.dtype),
@@ -224,6 +233,7 @@ def llama_prefill(
         k=jax.lax.dynamic_update_slice(cache.k, ks, (0, 0, 0, 0, 0)),
         v=jax.lax.dynamic_update_slice(cache.v, vs, (0, 0, 0, 0, 0)),
         index=jnp.asarray(s, jnp.int32),
+        valid=jax.lax.dynamic_update_slice(cache.valid, key_valid, (0, 0)),
     )
     return rms_norm(params["final_norm"], x, cfg.rms_norm_eps), new_cache
 
@@ -233,15 +243,17 @@ def llama_decode_step(
     cfg: LlamaConfig,
     token_embed: jnp.ndarray,  # (B, 1, D)
     cache: KVCache,
+    positions: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One cached decode step. Returns (post-norm hidden (B, 1, D), cache)."""
     b = token_embed.shape[0]
     h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     t_max = cache.k.shape[2]
-    pos = jnp.broadcast_to(cache.index, (b, 1)).astype(jnp.int32)
-    sin, cos = rope_sin_cos(pos, cfg.head_dim, cfg.rope_theta)
-    valid = (jnp.arange(t_max)[None, :] <= cache.index)[:, None, None, :]  # (1,1,1,T)
-    valid = jnp.broadcast_to(valid, (b, 1, 1, t_max))
+    if positions is None:
+        positions = jnp.broadcast_to(cache.index, (b, 1)).astype(jnp.int32)
+    sin, cos = rope_sin_cos(positions, cfg.head_dim, cfg.rope_theta)
+    new_valid = cache.valid | (jnp.arange(t_max)[None, :] == cache.index)
+    mask = new_valid[:, None, None, :]  # (B, 1, 1, T)
 
     x = token_embed
 
@@ -255,11 +267,11 @@ def llama_decode_step(
         q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache.index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache.index, 0, 0))
-        o = attention(q, ck, cv, mask=valid)
+        o = attention(q, ck, cv, mask=mask)
         x = x + linear(p["attn"]["wo"], o.reshape(b, 1, h * hd))
         xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
         return x + swiglu(p["mlp"], xm), (ck, cv)
 
     x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
-    new_cache = KVCache(k=ks, v=vs, index=cache.index + 1)
+    new_cache = KVCache(k=ks, v=vs, index=cache.index + 1, valid=new_valid)
     return rms_norm(params["final_norm"], x, cfg.rms_norm_eps), new_cache

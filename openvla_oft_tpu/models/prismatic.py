@@ -202,7 +202,7 @@ def _scatter_into_mask(x: jnp.ndarray, mask: jnp.ndarray,
 
 
 # === Inference: parallel action-chunk decoding ===
-class PredictOutput(NamedTuple):
+class PredictOutput(NamedTuple):  # noqa: D101
     actions_hidden: jnp.ndarray          # (B, chunk_len, D)
     action_logits: Optional[jnp.ndarray]  # (B, chunk_len, V) fp32 (discrete path)
 
@@ -289,6 +289,73 @@ def predict_action_hidden(
     if compute_logits:
         action_logits = lm_logits(params["llm"], actions_hidden)
     return PredictOutput(actions_hidden, action_logits)
+
+
+# === Autoregressive discrete decoding (base-OpenVLA parity) ===
+def predict_action_autoregressive(
+    params: Params,
+    cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    input_ids: jnp.ndarray,        # (B, P) LEFT-padded prompt incl BOS..29871
+    prompt_mask: jnp.ndarray,      # (B, P)
+    pixels: jnp.ndarray,           # (B, N, n_backbones, H, W, 3)
+    num_new_tokens: int,
+) -> jnp.ndarray:
+    """Greedy KV-cached decode of `num_new_tokens` action tokens — the vanilla
+    OpenVLA path (reference `prismatic/models/vlas/openvla.py:36-103`, which
+    generates ACTION_DIM tokens through HF `generate`). Returns token ids
+    (B, num_new_tokens).
+
+    Same left-padded physical-order layout as `predict_action_hidden` minus
+    the action/STOP slots; one prefill + a `lax.scan` over decode steps.
+    """
+    from openvla_oft_tpu.models.llama import (
+        KVCache,
+        llama_decode_step,
+        llama_prefill,
+    )
+
+    b, p_len = input_ids.shape
+    dtype = params["llm"]["embed"]["embedding"].dtype
+    prompt_mask = prompt_mask.astype(bool)
+
+    text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
+    text_embeds = text_embeds * prompt_mask[..., None]
+    patch_embeds = _patch_block(params, cfg, pixels, None, None, None, dtype)
+    n_patch = patch_embeds.shape[1]
+
+    staged = jnp.concatenate([text_embeds, patch_embeds], axis=1)
+    s = p_len + n_patch
+    pad_counts = (p_len - jnp.sum(prompt_mask, axis=1)).astype(jnp.int32)
+    i = jnp.arange(s, dtype=jnp.int32)[None, :]
+    p = pad_counts[:, None]
+    src = jnp.where(
+        i <= p, i,
+        jnp.where(i < p + 1 + n_patch, p_len + (i - (p + 1)),
+                  jnp.where(i < s, i - n_patch, i)))
+    embeds = jnp.take_along_axis(staged, src[..., None], axis=1)
+    positions = jnp.maximum(i - p, 0)
+    key_valid = i >= p
+
+    t_max = s + num_new_tokens
+    cache = KVCache.create(cfg.llm, b, t_max, dtype=dtype)
+    hidden, cache = llama_prefill(params["llm"], cfg.llm, embeds, cache,
+                                  positions=positions, key_valid=key_valid)
+    last_hidden = hidden[:, -1:]
+
+    def step(carry, _):
+        last_hidden, cache = carry
+        logits = lm_logits(params["llm"], last_hidden)[:, 0]  # (B, V)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+        emb = embed_tokens(params["llm"], token[:, None]).astype(dtype)
+        pos = (cache.index - pad_counts)[:, None].astype(jnp.int32)
+        new_hidden, new_cache = llama_decode_step(params["llm"], cfg.llm, emb,
+                                                  cache, positions=pos)
+        return (new_hidden, new_cache), token
+
+    (_, _), tokens = jax.lax.scan(step, (last_hidden, cache), None,
+                                  length=num_new_tokens)
+    return tokens.T  # (B, num_new_tokens)
 
 
 # === Host-side helpers (numpy, outside jit) ===

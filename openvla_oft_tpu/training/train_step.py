@@ -105,7 +105,10 @@ def create_train_state(base_params: Params, trainables: Params,
 def _merged_params(base: Params, trainables: Params, cfg: TrainConfig) -> Params:
     params = apply_lora(base, trainables["lora"], cfg.lora_rank, cfg.lora_alpha) \
         if "lora" in trainables else dict(base)
-    for k in ("proprio_projector", "noisy_action_projector", "film"):
+    # Full-parameter training (legacy pretrain path): trainable subtrees for
+    # the core modules shadow the frozen base ones.
+    for k in ("llm", "vision_backbone", "projector",
+              "proprio_projector", "noisy_action_projector", "film"):
         if k in trainables:
             params[k] = trainables[k]
     return params
