@@ -1,0 +1,107 @@
+"""Pretrained-model registry + `load`/`load_vla` API (reference
+`prismatic/models/{registry,load}.py` — `available_models`, `load` :52,
+`load_vla` :122, MODEL_REGISTRY of released VLMs/VLAs).
+
+Zero-egress build: entries map model IDs to their architecture configs and
+(HF hub) checkpoint identities; `load`/`load_vla` resolve LOCAL checkpoint
+directories (a hub-download hook can be layered on where egress exists).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+from openvla_oft_tpu.config import OpenVLAConfig
+from openvla_oft_tpu.constants import PlatformSpec, detect_robot_platform
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelEntry:
+    model_id: str
+    hub_repo: str
+    description: str
+    vision_backbone_id: str = "dinosiglip-vit-so-224px"
+    llm_backbone_id: str = "llama2-7b-pure"
+    is_vla: bool = False
+
+
+MODEL_REGISTRY: Dict[str, ModelEntry] = {}
+
+
+def register_model(entry: ModelEntry) -> ModelEntry:
+    MODEL_REGISTRY[entry.model_id] = entry
+    return entry
+
+
+# Released Prismatic VLMs the OpenVLA line builds on (reference registry.py)
+# plus the OpenVLA / OpenVLA-OFT released checkpoints (LIBERO.md:41-45).
+for _id, _repo, _desc, _vla in [
+    ("prism-dinosiglip-224px+7b", "TRI-ML/prismatic-vlms",
+     "Prismatic VLM: DINOv2+SigLIP fused backbone, Llama-2-7B", False),
+    ("prism-dinosiglip-224px+13b", "TRI-ML/prismatic-vlms",
+     "Prismatic VLM, Llama-2-13B", False),
+    ("openvla-7b", "openvla/openvla-7b",
+     "Base OpenVLA 7B (discrete autoregressive actions)", True),
+    ("openvla-7b-oft-finetuned-libero-spatial",
+     "moojink/openvla-7b-oft-finetuned-libero-spatial",
+     "OFT LIBERO-Spatial: L1 head, 2 images, proprio", True),
+    ("openvla-7b-oft-finetuned-libero-object",
+     "moojink/openvla-7b-oft-finetuned-libero-object",
+     "OFT LIBERO-Object", True),
+    ("openvla-7b-oft-finetuned-libero-goal",
+     "moojink/openvla-7b-oft-finetuned-libero-goal",
+     "OFT LIBERO-Goal (50K-step checkpoint)", True),
+    ("openvla-7b-oft-finetuned-libero-10",
+     "moojink/openvla-7b-oft-finetuned-libero-10",
+     "OFT LIBERO-10", True),
+]:
+    register_model(ModelEntry(_id, _repo, _desc, is_vla=_vla))
+
+
+def available_models() -> Tuple[str, ...]:
+    """Reference `available_models` / `available_model_names`."""
+    return tuple(sorted(MODEL_REGISTRY))
+
+
+def get_model_description(model_id: str) -> str:
+    return MODEL_REGISTRY[model_id].description
+
+
+def _resolve_checkpoint_dir(model_id_or_path: str,
+                            cache_dir: Optional[str]) -> str:
+    if os.path.isdir(model_id_or_path):
+        return model_id_or_path
+    if cache_dir:
+        candidate = os.path.join(cache_dir, model_id_or_path.split("/")[-1])
+        if os.path.isdir(candidate):
+            return candidate
+    entry = MODEL_REGISTRY.get(model_id_or_path)
+    hint = f" (hub repo: {entry.hub_repo})" if entry else ""
+    raise FileNotFoundError(
+        f"Checkpoint for {model_id_or_path!r} not found locally{hint}. "
+        f"This build has zero egress — download the checkpoint out-of-band "
+        f"and pass its directory (or set cache_dir).")
+
+
+def load(model_id_or_path: str, cache_dir: Optional[str] = None,
+         dtype=None):
+    """Load a Prismatic VLM from a local checkpoint dir (reference
+    load.py:52-121). Returns (OpenVLAConfig, params, norm_stats)."""
+    from openvla_oft_tpu.utils.hf_import import load_openvla_checkpoint
+
+    ckpt_dir = _resolve_checkpoint_dir(model_id_or_path, cache_dir)
+    return load_openvla_checkpoint(ckpt_dir, dtype=dtype)
+
+
+def load_vla(model_id_or_path: str, cache_dir: Optional[str] = None,
+             platform: Optional[PlatformSpec] = None, dtype=None):
+    """Load an OpenVLA policy (reference load.py:122-226). Returns
+    `OpenVLAPolicy` ready for `predict_action`."""
+    from openvla_oft_tpu.policy import OpenVLAPolicy
+
+    cfg, params, norm_stats = load(model_id_or_path, cache_dir, dtype=dtype)
+    platform = platform or detect_robot_platform(model_id_or_path)
+    return OpenVLAPolicy(cfg=cfg, platform=platform, params=params,
+                         norm_stats=norm_stats)

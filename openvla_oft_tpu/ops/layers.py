@@ -23,7 +23,14 @@ Params = Dict[str, Any]
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ W + b. Weights stored as (in, out) for natural sharding."""
+    """y = x @ W + b. Weights stored as (in, out) for natural sharding.
+
+    Int8-quantized kernels (see ops/quant.py) dispatch to the int8 MXU path.
+    """
+    if p["kernel"].dtype == jnp.int8:
+        from openvla_oft_tpu.ops.quant import int8_linear
+
+        return int8_linear(p, x)
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)

@@ -1,0 +1,86 @@
+"""Int8 quantization: bounded error vs float path, tree transformation rules,
+end-to-end predict with a quantized LLM."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import openvla_oft_tpu.config as C
+from openvla_oft_tpu.config import OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP
+from openvla_oft_tpu.constants import EMPTY_TOKEN_ID, LIBERO
+from openvla_oft_tpu.ops.layers import linear
+from openvla_oft_tpu.ops.quant import int8_linear, quantize_tree, quantize_weight
+
+C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+
+
+def test_int8_linear_error_bounded(rng):
+    d_in, d_out, t = 256, 128, 16
+    w = rng.standard_normal((d_in, d_out)).astype(np.float32) * 0.05
+    x = rng.standard_normal((t, d_in)).astype(np.float32)
+    p = {"kernel": jnp.asarray(w), "bias": jnp.zeros(d_out)}
+    ref = np.asarray(linear(p, jnp.asarray(x)))
+    q = quantize_weight(jnp.asarray(w))
+    out = np.asarray(int8_linear({**q, "bias": jnp.zeros(d_out)}, jnp.asarray(x)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel  # two rounds of int8 quantization
+
+
+def test_int8_linear_stacked_layers(rng):
+    L, d_in, d_out = 3, 256, 128
+    w = rng.standard_normal((L, d_in, d_out)).astype(np.float32) * 0.05
+    x = rng.standard_normal((2, 8, d_in)).astype(np.float32)
+    q = quantize_weight(jnp.asarray(w))
+    assert q["kernel"].shape == (L, d_in, d_out)
+    assert q["scale_w"].shape == (L, d_out)
+    for i in range(L):
+        ref = x @ w[i]
+        out = np.asarray(int8_linear(
+            {"kernel": q["kernel"][i], "scale_w": q["scale_w"][i]},
+            jnp.asarray(x)))
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.02
+
+
+def test_quantize_tree_rules(rng):
+    tree = {
+        "big": {"kernel": jnp.asarray(rng.standard_normal((2048, 64)),
+                                      jnp.float32)},
+        "small": {"kernel": jnp.asarray(rng.standard_normal((64, 64)),
+                                        jnp.float32)},
+        "norm": {"scale": jnp.ones(64)},
+    }
+    q = quantize_tree(tree, min_dim=1024)
+    assert q["big"]["kernel"].dtype == jnp.int8 and "scale_w" in q["big"]
+    assert q["small"]["kernel"].dtype == jnp.float32
+    assert q["norm"]["scale"].dtype == jnp.float32
+
+
+def test_quantized_predict_end_to_end(rng):
+    from openvla_oft_tpu.models.prismatic import predict_action_hidden
+    from openvla_oft_tpu.policy import init_openvla_params
+
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama")
+    params = init_openvla_params(jax.random.PRNGKey(0), cfg, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((1, 1, 2, h, h, 3)), jnp.float32)
+    ids = np.zeros((1, 10), np.int32)
+    ids[0, 2:] = [1, 5, 6, 7, 8, 9, 10, EMPTY_TOKEN_ID]
+    mask = np.zeros((1, 10), np.int32)
+    mask[0, 2:] = 1
+
+    ref = predict_action_hidden(params, cfg, LIBERO,
+                                input_ids=jnp.asarray(ids),
+                                prompt_mask=jnp.asarray(mask), pixels=pixels)
+    qparams = dict(params)
+    qparams["llm"] = quantize_tree(params["llm"], min_dim=TINY_LLAMA.hidden_size)
+    out = predict_action_hidden(qparams, cfg, LIBERO,
+                                input_ids=jnp.asarray(ids),
+                                prompt_mask=jnp.asarray(mask), pixels=pixels)
+    a, b = np.asarray(ref.actions_hidden), np.asarray(out.actions_hidden)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.1, rel  # tiny random model, cumulative layer error
+    assert np.isfinite(b).all()

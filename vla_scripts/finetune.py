@@ -259,6 +259,42 @@ def finetune(cfg: FinetuneConfig) -> dict:
             use_flash=cfg.use_flash_attention))
         batch_sharding = NamedSharding(mesh, P(("dp", "fsdp")))
 
+        # Validation loss (reference `run_validation`, finetune.py:678-760):
+        # wall-clock-limited pass over a held-out stream with the same loss.
+        from openvla_oft_tpu.training.train_step import loss_and_metrics
+
+        val_loss_fn = jax.jit(lambda st, bt, key: loss_and_metrics(
+            st.trainables, st.base_params, bt, model_cfg, platform, tcfg, key,
+            use_flash=cfg.use_flash_attention))
+
+        def run_validation(state, step):
+            if str(cfg.data_root_dir) == "dummy":
+                val_ds = DummyDataset(
+                    dataclasses.replace(transform),
+                    image_size=model_cfg.vision_configs[0].image_size,
+                    num_samples=8 * cfg.batch_size, seed=999,
+                    num_images=cfg.num_images_in_input)
+            else:
+                from openvla_oft_tpu.data.rlds.pipeline import make_rlds_iterator
+
+                val_ds, _ = make_rlds_iterator(
+                    str(cfg.data_root_dir), cfg.dataset_name, transform,
+                    platform, shuffle_buffer_size=1000, image_aug=False,
+                    train=False)
+            t0, losses = time.time(), []
+            key = jax.random.PRNGKey(4242)
+            for vb in batch_iterator(val_ds, cfg.batch_size, collator):
+                if time.time() - t0 > cfg.val_time_limit:
+                    break
+                vb = {k: jax.device_put(v, batch_sharding)
+                      for k, v in vb.items() if k != "dataset_name"}
+                loss, _ = val_loss_fn(state, vb, key)
+                losses.append(float(loss))
+            if losses:
+                metrics.push(step, extra={"val_loss": float(np.mean(losses))})
+                print(f"[finetune] val_loss={np.mean(losses):.4f} "
+                      f"({len(losses)} batches)")
+
         start = int(state.step)
         t_start = time.time()
         for i, batch in enumerate(batches):
@@ -274,6 +310,8 @@ def finetune(cfg: FinetuneConfig) -> dict:
                 if step % (cfg.wandb_log_freq * 10) == 0:
                     print(f"[step {step}] " + " ".join(
                         f"{k}={v:.4f}" for k, v in sorted(smoothed.items())))
+            if cfg.use_val_set and (step + 1) % cfg.val_freq == 0:
+                run_validation(state, step)
             if (step + 1) % cfg.save_freq == 0 or step + 1 == cfg.max_steps:
                 save_step = 0 if cfg.save_latest_checkpoint_only else step + 1
                 save_checkpoint(ckpt_dir, save_step,
