@@ -33,14 +33,15 @@ class PaddedCollatorForActionPrediction:
         if max(lens) > target:
             raise ValueError(f"sequence length {max(lens)} exceeds bucket {target}")
 
-        input_ids = np.full((b, target), self.pad_token_id, np.int32)
-        labels = np.full((b, target), IGNORE_INDEX, np.int32)
-        attn = np.zeros((b, target), np.int32)
-        for i, e in enumerate(examples):
-            n = lens[i]
-            input_ids[i, :n] = e["input_ids"]
-            labels[i, :n] = e["labels"]
-            attn[i, :n] = 1
+        # GIL-free native pad/stack when the C library is available
+        # (openvla_oft_tpu/utils/native.py; falls back to NumPy).
+        from openvla_oft_tpu.utils import native
+
+        input_ids = native.pad_stack([e["input_ids"] for e in examples],
+                                     target, self.pad_token_id)
+        labels = native.pad_stack([e["labels"] for e in examples],
+                                  target, IGNORE_INDEX)
+        attn = native.attention_mask(lens, target)
 
         batch = {
             "input_ids": input_ids,

@@ -86,6 +86,18 @@ class RLDSBatchTransform:
 
 
 @dataclasses.dataclass
+class EpisodicRLDSBatchTransform:
+    """Episode-level transform (reference `EpisodicRLDSDataset`,
+    datasets.py:200-215): yields the whole trajectory's frames as one list,
+    for evaluation-time replay and trajectory-level metrics."""
+
+    frame_transform: RLDSBatchTransform
+
+    def __call__(self, episode_frames) -> list:
+        return [self.frame_transform(frame) for frame in episode_frames]
+
+
+@dataclasses.dataclass
 class DummyDataset:
     """Random-frame dataset with the RLDS contract (datasets.py:217-269)."""
 
