@@ -198,9 +198,21 @@ def make_rlds_iterator(
     future = platform.num_actions_chunk - 1
 
     files = sorted(glob.glob(os.path.join(root, name, "*.tfrecord*")))
+    # Multi-host feeding: each JAX process reads a disjoint shard of episode
+    # files (the reference runs one stream per GPU process; here streams
+    # partition deterministically across TPU hosts — SURVEY.md §7).
+    try:
+        import jax
+
+        n_proc, proc = jax.process_count(), jax.process_index()
+    except Exception:
+        n_proc, proc = 1, 0
+    if n_proc > 1 and len(files) >= n_proc:
+        files = files[proc::n_proc]
     ds = tf.data.TFRecordDataset(files, num_parallel_reads=tf.data.AUTOTUNE)
     if train:
-        ds = ds.repeat().shuffle(min(64, max(len(files) * 4, 8)), seed=seed)
+        ds = ds.repeat().shuffle(min(64, max(len(files) * 4, 8)),
+                                 seed=seed + proc)
 
     def to_frames(record):
         ep = _parse_episode(record, platform, has_wrist=False)

@@ -78,6 +78,7 @@ class FinetuneConfig:
     wandb_log_freq: int = 10
 
     # TPU-native additions
+    recipe: Optional[str] = None                  # named recipe (training/recipes.py)
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
@@ -133,6 +134,12 @@ def finetune(cfg: FinetuneConfig) -> dict:
     from openvla_oft_tpu.training.train_step import (
         TrainConfig, TrainState, create_train_state, make_optimizer, train_step)
     from openvla_oft_tpu.utils.hf_import import load_openvla_checkpoint
+
+    if cfg.recipe:
+        from openvla_oft_tpu.training.recipes import apply_recipe
+
+        cfg = apply_recipe(cfg, cfg.recipe)
+        print(f"[finetune] applied recipe {cfg.recipe!r}")
 
     assert not (cfg.use_l1_regression and cfg.use_diffusion), \
         "choose at most one continuous objective"
