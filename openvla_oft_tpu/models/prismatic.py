@@ -217,12 +217,16 @@ def predict_action_hidden(
     proprio: Optional[jnp.ndarray] = None,
     noisy_actions: Optional[jnp.ndarray] = None,
     diffusion_t_emb: Optional[jnp.ndarray] = None,
-    use_flash: bool = False,
+    use_flash="auto",
     compute_logits: bool = False,
 ) -> PredictOutput:
     """One prefill with parallel decoding; returns action-slot hidden states.
 
     Jit this per static geometry (platform, num_images, prompt bucket P).
+    use_flash: True | False | "auto" — "auto" picks the Pallas kernel when the
+    sequence is long enough for it to beat XLA fused attention (measured
+    crossover ~1k tokens on v5e: ALOHA geometry 121.7 ms flash vs 150.1 ms
+    XLA; LIBERO geometry slightly favors XLA).
     """
     b, p_len = input_ids.shape
     chunk = platform.chunk_len
@@ -275,6 +279,10 @@ def predict_action_hidden(
     key_valid = i >= p                                              # (B, S)
     window = (p_len + n_patch, chunk)                               # static
 
+    if use_flash == "auto":
+        from openvla_oft_tpu.ops.attention import FLASH_SEQ_THRESHOLD
+
+        use_flash = s >= FLASH_SEQ_THRESHOLD
     bidir = jnp.zeros((b, s), bool).at[:, window[0]:window[0] + chunk].set(True)
     hidden = llama_model(params["llm"], cfg.llm, embeds, positions=positions,
                          padding_mask=key_valid, bidir_mask=bidir,

@@ -18,6 +18,11 @@ import jax.numpy as jnp
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Measured crossover on TPU v5e (7B OFT): the Pallas flash kernel beats XLA
+# fused attention above ~1k tokens (ALOHA geometry) and loses slightly below
+# (LIBERO geometry, where q/k/v layout transposes dominate its win).
+FLASH_SEQ_THRESHOLD = 1024
+
 
 def attention_xla(
     q: jnp.ndarray,

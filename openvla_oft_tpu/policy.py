@@ -92,7 +92,7 @@ class OpenVLAPolicy:
     head: str = "l1"                      # "l1" | "diffusion" | "discrete"
     prompt_bucket: int = 64
     num_diffusion_steps_inference: int = 50
-    use_flash: bool = False
+    use_flash = "auto"
     tokenizer: Any = None
 
     def __post_init__(self):
