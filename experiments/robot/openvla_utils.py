@@ -41,6 +41,26 @@ from openvla_oft_tpu.training.checkpoint import (
 OPENVLA_IMAGE_SIZE = 224
 
 
+def update_auto_map(pretrained_checkpoint: str) -> None:
+    """Compat no-op. The reference rewrites `auto_map` entries in checkpoint
+    config.json so HF AutoClasses import the *local* model source
+    (openvla_utils.py:56-96). This framework's checkpoints carry no Python
+    code, so there is nothing to rewrite."""
+
+
+def check_model_logic_mismatch(pretrained_checkpoint: str) -> None:
+    """Compat no-op. The reference copies the current `modeling_prismatic.py`
+    over the checkpoint's with timestamped backups (openvla_utils.py:168-198)
+    — versioning-by-copy. Model logic here lives only in the installed
+    package; checkpoints are pure weights + config."""
+
+
+def model_is_on_hf_hub(model_path: str) -> bool:
+    """Reference `model_is_on_hf_hub` (openvla_utils.py:49-53): True when the
+    path is a hub id rather than a local directory."""
+    return not os.path.isdir(str(model_path))
+
+
 def _platform_from_cfg(cfg: Any) -> PlatformSpec:
     hint = " ".join(str(getattr(cfg, k, "")) for k in
                     ("pretrained_checkpoint", "task_suite_name", "unnorm_key",
