@@ -105,7 +105,7 @@ class ForwardOutput(NamedTuple):
     hidden_states: jnp.ndarray        # (B, S_mm, D) post-final-norm
     logits: Optional[jnp.ndarray]     # (B, S_mm, V) fp32, or None
     multimodal_labels: jnp.ndarray    # (B, S_mm)
-    actions_hidden: jnp.ndarray       # (B, chunk_len, D) gathered at action slots
+    actions_hidden: Optional[jnp.ndarray]  # (B, chunk_len, D) at action slots
     all_actions_mask: jnp.ndarray     # (B, S_txt) action positions in text coords
 
 
@@ -123,6 +123,7 @@ def prismatic_forward(
     use_flash: bool = False,
     compute_logits: bool = True,
     remat: bool = False,
+    gather_actions: bool = True,
 ) -> ForwardOutput:
     """Reference `PrismaticForConditionalGeneration.forward` multimodal branch
     (modeling_prismatic.py:575-675) + the fine-tune hidden-state gather
@@ -173,10 +174,14 @@ def prismatic_forward(
 
     # Gather hidden states at positions whose NEXT token is an action token:
     # shift the multimodal action mask left by one (finetune.py:384-394 uses
-    # `hidden[:, NUM_PATCHES:-1][mask[:, 1:]]`, same semantics).
-    predictor_mask = jnp.concatenate(
-        [mm_bidir[:, 1:], jnp.zeros((b, 1), bool)], axis=1)
-    actions_hidden = _gather_mask_rows(hidden, predictor_mask, platform.chunk_len)
+    # `hidden[:, NUM_PATCHES:-1][mask[:, 1:]]`, same semantics). Pure-VLM
+    # batches (no action tokens, e.g. LLaVA pretraining) skip the gather.
+    actions_hidden = None
+    if gather_actions:
+        predictor_mask = jnp.concatenate(
+            [mm_bidir[:, 1:], jnp.zeros((b, 1), bool)], axis=1)
+        actions_hidden = _gather_mask_rows(hidden, predictor_mask,
+                                           platform.chunk_len)
 
     return ForwardOutput(hidden, logits, mm_labels, actions_hidden, all_actions_mask)
 

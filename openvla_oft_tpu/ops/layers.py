@@ -25,16 +25,29 @@ Params = Dict[str, Any]
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ W + b. Weights stored as (in, out) for natural sharding.
 
-    Int8-quantized kernels (see ops/quant.py) dispatch to the int8 MXU path.
+    Two transparent extensions dispatch on the param dict contents:
+      - int8-quantized kernels (ops/quant.py) take the int8 MXU path;
+      - injected LoRA factors ("lora_a" pre-scaled, "lora_b" — see
+        training/lora.py::inject_lora) add scale*(x@A)@B *merge-free*, so no
+        second full-size weight copy is ever materialized (the merge-based
+        formulation costs an extra 14.8 GB HBM copy per step on the 7B).
     """
     if p["kernel"].dtype == jnp.int8:
         from openvla_oft_tpu.ops.quant import int8_linear
 
-        return int8_linear(p, x)
-    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
-    if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = int8_linear(p, x)
+    else:
+        y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+        y = y.astype(x.dtype)
+    if "lora_a" in p:
+        down = jnp.dot(x, p["lora_a"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        delta = jnp.dot(down.astype(x.dtype), p["lora_b"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+        y = (y.astype(jnp.float32) + delta).astype(x.dtype)
+    return y
 
 
 def rms_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:

@@ -107,6 +107,32 @@ def apply_lora(params: Params, lora: Params, rank: int = 32,
     return merged
 
 
+def inject_lora(params: Params, lora: Params, rank: int = 32,
+                alpha: float = 16.0) -> Params:
+    """Attach LoRA factors into the matched param dicts for *merge-free*
+    evaluation: `linear()` computes y = xW + (x @ (A*scale)) @ B when a node
+    carries "lora_a"/"lora_b". Unlike `apply_lora`, no full-size merged
+    weight is materialized — on the 7B that saves a 14.8 GB HBM copy per
+    training step (and is what makes single-chip LoRA training fit)."""
+    scale = alpha / rank
+
+    def attach(base_node, lora_node):
+        if isinstance(lora_node, dict) and set(lora_node) == {"a", "b"}:
+            out = dict(base_node)
+            out["lora_a"] = lora_node["a"] * scale
+            out["lora_b"] = lora_node["b"]
+            return out
+        out = dict(base_node)
+        for k, v in lora_node.items():
+            out[k] = attach(base_node[k], v)
+        return out
+
+    merged = dict(params)
+    for k, v in lora.items():
+        merged[k] = attach(params[k], v)
+    return merged
+
+
 def merge_lora_into_params(params: Params, lora: Params, rank: int = 32,
                            alpha: float = 16.0) -> Params:
     """Offline merge (reference `merge_lora_weights_and_save.py:33-73`)."""

@@ -30,7 +30,7 @@ from openvla_oft_tpu.models.action_heads import (
     l1_head_predict,
 )
 from openvla_oft_tpu.models.prismatic import prismatic_forward
-from openvla_oft_tpu.training.lora import apply_lora
+from openvla_oft_tpu.training.lora import inject_lora
 
 Params = Dict[str, Any]
 
@@ -103,7 +103,7 @@ def create_train_state(base_params: Params, trainables: Params,
 
 
 def _merged_params(base: Params, trainables: Params, cfg: TrainConfig) -> Params:
-    params = apply_lora(base, trainables["lora"], cfg.lora_rank, cfg.lora_alpha) \
+    params = inject_lora(base, trainables["lora"], cfg.lora_rank, cfg.lora_alpha) \
         if "lora" in trainables else dict(base)
     # Full-parameter training (legacy pretrain path): trainable subtrees for
     # the core modules shadow the frozen base ones.
@@ -142,7 +142,7 @@ def loss_and_metrics(
         proprio=batch.get("proprio") if cfg.use_proprio else None,
         noisy_actions=noisy_actions, diffusion_t_emb=diffusion_t_emb,
         use_flash=use_flash, compute_logits=(cfg.objective == "discrete"),
-        remat=True)
+        remat=True, gather_actions=(cfg.objective in ("l1", "diffusion")))
 
     metrics: Dict[str, jnp.ndarray] = {}
     if cfg.objective == "l1":

@@ -141,3 +141,27 @@ def test_sharded_train_step_8dev_mesh():
     specs = param_pspecs(state.base_params, mesh)
     wq_spec = specs["llm"]["layers"]["attn"]["wq"]["kernel"]
     assert wq_spec == P(None, "fsdp", "tp")
+
+
+def test_inject_lora_matches_merge():
+    """Merge-free evaluation == merged evaluation (same math, no W' copy)."""
+    import jax.numpy as jnp
+    from openvla_oft_tpu.ops.layers import linear
+    from openvla_oft_tpu.training.lora import apply_lora, init_lora, inject_lora
+
+    key = jax.random.PRNGKey(0)
+    base = {"llm": {"layers": {"attn": {"wq": {
+        "kernel": jax.random.normal(key, (2, 32, 48)) * 0.1}}}}}
+    lora = init_lora(jax.random.PRNGKey(1), base, rank=4)
+    lora = jax.tree_util.tree_map(lambda a: a + 0.05, lora)  # nonzero B
+    merged = apply_lora(base, lora, rank=4, alpha=8.0)
+    injected = inject_lora(base, lora, rank=4, alpha=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 32))
+    for layer in range(2):
+        node_m = jax.tree_util.tree_map(lambda a: a[layer],
+                                        merged["llm"]["layers"]["attn"]["wq"])
+        node_i = jax.tree_util.tree_map(lambda a: a[layer],
+                                        injected["llm"]["layers"]["attn"]["wq"])
+        np.testing.assert_allclose(np.asarray(linear(node_i, x)),
+                                   np.asarray(linear(node_m, x)),
+                                   rtol=1e-5, atol=1e-5)
