@@ -48,10 +48,11 @@ class PaddedCollatorForActionPrediction:
             "labels": labels,
             "attention_mask": attn,
             "pixel_values": np.stack([e["pixel_values"] for e in examples]),
-            "actions": np.stack([e["actions"] for e in examples]),
         }
-        if "proprio" in examples[0]:
-            batch["proprio"] = np.stack([e["proprio"] for e in examples])
+        # "actions" absent for pure-VLM (LLaVA) pretraining batches.
+        for key in ("actions", "proprio"):
+            if key in examples[0]:
+                batch[key] = np.stack([e[key] for e in examples])
         return batch
 
 

@@ -21,7 +21,6 @@ from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
-from openvla_oft_tpu.config import OpenVLAConfig
 from openvla_oft_tpu.constants import (
     EMPTY_TOKEN_ID,
     IGNORE_INDEX,

@@ -19,7 +19,7 @@ import numpy as np
 
 from openvla_oft_tpu.constants import IGNORE_INDEX
 from openvla_oft_tpu.processing.processor import PrismaticProcessor
-from openvla_oft_tpu.processing.prompting import PromptBuilder, get_prompt_builder
+from openvla_oft_tpu.processing.prompting import get_prompt_builder
 
 
 @dataclasses.dataclass

@@ -114,6 +114,7 @@ def llama_model(
     bidir_block: Optional[tuple] = None,
     remat: bool = False,
     attn_mask: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run the decoder stack; returns post-final-norm hidden states (B, S, D).
 
@@ -158,7 +159,7 @@ def llama_model(
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, params["layers"], unroll=unroll)
     return rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
 
 

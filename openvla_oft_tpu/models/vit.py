@@ -141,6 +141,7 @@ def vit_featurize(
     images: jnp.ndarray,
     film_params: Optional[Params] = None,
     language_embedding: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """(B, H, W, 3) normalized pixels -> (B, num_patches, width) features.
 
@@ -191,11 +192,11 @@ def vit_featurize(
     if film_all is None:
         def body(carry, lp):
             return _vit_block(lp, cfg, carry, None), None
-        x, _ = jax.lax.scan(body, x, layers)
+        x, _ = jax.lax.scan(body, x, layers, unroll=unroll)
     else:
         def body(carry, inputs):
             lp, f = inputs
             return _vit_block(lp, cfg, carry, f), None
-        x, _ = jax.lax.scan(body, x, (layers, film_all[:n_run]))
+        x, _ = jax.lax.scan(body, x, (layers, film_all[:n_run]), unroll=unroll)
 
     return x[:, cfg.num_prefix_tokens:]

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
-
 import numpy as np
 import jax.numpy as jnp
 

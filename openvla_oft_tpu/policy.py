@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from openvla_oft_tpu.config import OpenVLAConfig
-from openvla_oft_tpu.constants import NormalizationType, PlatformSpec, get_platform
+from openvla_oft_tpu.constants import PlatformSpec
 from openvla_oft_tpu.models.action_heads import (
     init_diffusion_head,
     init_l1_head,

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 import io
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ backbones for the legacy pretraining path.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional
 
 
 class PromptBuilder:

@@ -138,8 +138,6 @@ def export_openvla_checkpoint(cfg: OpenVLAConfig, params: Params, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     tensors = export_llama(params["llm"], cfg.llm)
     # vision + projector
-    from openvla_oft_tpu.utils.weights import port_timm_patch_embed  # noqa: F401
-
     names = ("featurizer", "fused_featurizer")[: len(cfg.vision_configs)]
     for name, vcfg in zip(names, cfg.vision_configs):
         vp = params["vision_backbone"][name]
