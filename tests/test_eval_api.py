@@ -1,0 +1,105 @@
+"""End-to-end eval-API integration: export a checkpoint, load through
+`get_vla`, predict through `get_vla_action` — the full reference quickstart
+path on a synthetic checkpoint."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import openvla_oft_tpu.config as C
+from openvla_oft_tpu.config import OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP
+from openvla_oft_tpu.constants import LIBERO
+from openvla_oft_tpu.policy import init_openvla_params
+from openvla_oft_tpu.utils.hf_import import export_openvla_checkpoint
+
+C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+
+
+@pytest.fixture(scope="module")
+def exported_ckpt(tmp_path_factory):
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama")
+    params = init_openvla_params(jax.random.PRNGKey(0), cfg, LIBERO,
+                                 dtype=jnp.float32, head=None)
+    base = {k: params[k] for k in ("llm", "vision_backbone", "projector")}
+    stats = {"libero_spatial": {
+        "action": {"min": [-1.0] * 7, "max": [1.0] * 7,
+                   "q01": [-0.9] * 7, "q99": [0.9] * 7,
+                   "mask": [True] * 6 + [False]},
+        "proprio": {"min": [-1.0] * 8, "max": [1.0] * 8,
+                    "q01": [-0.9] * 8, "q99": [0.9] * 8},
+    }}
+    out = tmp_path_factory.mktemp("ckpt")
+    return export_openvla_checkpoint(cfg, base, str(out), norm_stats=stats)
+
+
+def _eval_cfg(ckpt):
+    class Cfg:
+        pretrained_checkpoint = ckpt
+        num_images_in_input = 1
+        center_crop = True
+        use_l1_regression = False
+        use_diffusion = False
+        use_film = False
+        use_proprio = True
+        unnorm_key = "libero_spatial"
+        num_open_loop_steps = 8
+        model_family = "openvla"
+
+    return Cfg
+
+
+def test_get_vla_and_action_from_exported_checkpoint(exported_ckpt, rng):
+    from experiments.robot.openvla_utils import get_processor, get_vla, get_vla_action
+    from openvla_oft_tpu.models.action_heads import init_l1_head
+
+    cfg = _eval_cfg(exported_ckpt)
+    vla = get_vla(cfg)
+    assert vla.norm_stats and "libero_spatial" in vla.norm_stats
+    processor = get_processor(cfg)
+    # separately-initialized head + proprio projector injection (the reference
+    # loads these from per-module .pt files)
+    head = init_l1_head(jax.random.PRNGKey(3), LIBERO,
+                        llm_dim=vla.cfg.llm_dim, hidden_dim=64)
+    from openvla_oft_tpu.models.projector import init_proprio_projector
+
+    pp = init_proprio_projector(jax.random.PRNGKey(4), LIBERO.proprio_dim,
+                                vla.cfg.llm_dim)
+    vla.head = "l1"
+    obs = {
+        "full_image": (rng.random((128, 128, 3)) * 255).astype(np.uint8),
+        "state": rng.random(8).astype(np.float64),
+    }
+    actions = get_vla_action(cfg, vla, processor, obs,
+                             "put the bowl on the stove",
+                             action_head=head, proprio_projector=pp)
+    assert len(actions) == 8
+    assert actions[0].shape == (7,)
+    stacked = np.stack(actions)
+    assert np.isfinite(stacked).all()
+    # unnormalization: masked gripper dim (idx 6) passes through [-1, 1]
+    assert np.abs(stacked[:, :6]).max() <= 0.9 + 1e-5
+    # proprio got normalized and clipped into [-1, 1]
+    assert np.abs(obs["state"]).max() <= 1.0
+
+
+def test_discrete_eval_path(exported_ckpt, rng):
+    from experiments.robot.robot_utils import get_action, get_model
+
+    cfg = _eval_cfg(exported_ckpt)
+    cfg.use_proprio = False
+    model = get_model(cfg)
+    model.head = "discrete"
+    obs = {"full_image": (rng.random((96, 96, 3)) * 255).astype(np.uint8)}
+    actions = get_action(cfg, model, obs, "close the drawer",
+                         processor=None)
+    stacked = np.stack(actions)
+    assert stacked.shape == (8, 7)
+    assert np.isfinite(stacked).all()
