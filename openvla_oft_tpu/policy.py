@@ -99,13 +99,14 @@ class OpenVLAPolicy:
         self._predict_jit = jax.jit(
             functools.partial(self._predict_impl),
             static_argnames=("compute_logits",))
+        self._call_count = 0
 
     # --- compiled core ---
     def _predict_impl(self, params, input_ids, prompt_mask, pixels, proprio,
-                      compute_logits=False):
+                      noise_key=None, compute_logits=False):
         if self.head == "diffusion":
             return self._diffusion_loop(params, input_ids, prompt_mask, pixels,
-                                        proprio)
+                                        proprio, noise_key)
         out = predict_action_hidden(
             params, self.cfg, self.platform, input_ids=input_ids,
             prompt_mask=prompt_mask, pixels=pixels, proprio=proprio,
@@ -117,14 +118,17 @@ class OpenVLAPolicy:
             return actions, out.action_logits
         return None, out.action_logits
 
-    def _diffusion_loop(self, params, input_ids, prompt_mask, pixels, proprio):
+    def _diffusion_loop(self, params, input_ids, prompt_mask, pixels, proprio,
+                        noise_key=None):
         """Reverse diffusion as ONE lax.scan program — the reference reruns
         the Python loop with 50 full HF forwards (modeling_prismatic.py:793-877);
         here all 50 prefills compile into a single scanned computation."""
         sched = diffusion_scheduler(100)
         ts = jnp.asarray(sched.timesteps(self.num_diffusion_steps_inference))
         b = input_ids.shape[0]
-        key = jax.random.PRNGKey(0)
+        # Fresh starting noise per call (reference torch.randn,
+        # modeling_prismatic.py:1029-1032); key threaded from the host.
+        key = noise_key if noise_key is not None else jax.random.PRNGKey(0)
         noise = jax.random.normal(
             key, (b, self.platform.num_actions_chunk, self.platform.action_dim),
             dtype=jnp.float32)
@@ -160,9 +164,13 @@ class OpenVLAPolicy:
         proprio_j = None
         if proprio is not None:
             proprio_j = jnp.asarray(proprio, jnp.float32)[None]
+        self._call_count += 1
+        noise_key = jax.random.PRNGKey(self._call_count) \
+            if self.head == "diffusion" else None
         actions, logits = self._predict_jit(
             self.params, jnp.asarray(ids)[None], jnp.asarray(mask)[None],
-            pixels, proprio_j, compute_logits=(self.head == "discrete"))
+            pixels, proprio_j, noise_key=noise_key,
+            compute_logits=(self.head == "discrete"))
         if self.head == "discrete":
             token_ids = np.asarray(jnp.argmax(logits, axis=-1))
             normalized = detokenize_discrete_actions(token_ids, self.cfg,

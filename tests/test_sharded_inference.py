@@ -52,3 +52,34 @@ def test_tp_fsdp_sharded_predict_matches_single_device(rng):
                            jax.device_put(jnp.asarray(ids), data),
                            jax.device_put(jnp.asarray(mask), data))
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_kernel_under_tp_mesh(rng):
+    """The Pallas kernel must at least run correctly under GSPMD sharding
+    (efficiency of its partitioning is tracked separately)."""
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((2, 1, 2, h, h, 3)), jnp.float32)
+    ids = np.zeros((2, 12), np.int32)
+    mask = np.zeros((2, 12), np.int32)
+    ids[:, 2] = 1
+    ids[:, 3:12] = 7
+    mask[:, 2:] = 1
+
+    def run(p, px, i, m, flash):
+        return predict_action_hidden(p, CFG, LIBERO, input_ids=i,
+                                     prompt_mask=m, pixels=px,
+                                     use_flash=flash).actions_hidden
+
+    ref = np.asarray(run(params, pixels, jnp.asarray(ids), jnp.asarray(mask),
+                         False))
+    mesh = make_mesh(dp=1, fsdp=2, tp=4)
+    with mesh:
+        sp = shard_params(params, mesh)
+        data = NamedSharding(mesh, P(("dp", "fsdp")))
+        out = jax.jit(lambda p, px, i, m: run(p, px, i, m, True))(
+            sp, jax.device_put(pixels, data),
+            jax.device_put(jnp.asarray(ids), data),
+            jax.device_put(jnp.asarray(mask), data))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-4)
