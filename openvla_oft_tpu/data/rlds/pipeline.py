@@ -214,10 +214,44 @@ def make_rlds_iterator(
         ds = ds.repeat().shuffle(min(64, max(len(files) * 4, 8)),
                                  seed=seed + proc)
 
-    def to_frames(record):
-        ep = _parse_episode(record, platform, has_wrist=False)
+    if standardize_fn is not None:
+        # OXE standardization transforms are NumPy functions (data/rlds/oxe.py)
+        # — they cannot trace inside the tf.data graph, so route each episode
+        # through an eager py_function before the graph-mode frame transforms.
+        def standardize_record(record):
+            def eager(rec):
+                ep = _parse_episode(rec, platform, has_wrist=False)
+                ep_np = {"images": ep["images"].numpy(),
+                         "actions": ep["actions"].numpy(),
+                         "observation": {"proprio": ep["proprio"].numpy(),
+                                         "state": ep["proprio"].numpy()},
+                         "language_instruction":
+                             ep["language_instruction"].numpy()}
+                ep_np["action"] = ep_np["actions"]
+                out = standardize_fn(ep_np)
+                return (tf.constant(out["images"]),
+                        tf.constant(np.asarray(out.get("action",
+                                                       out["actions"]),
+                                               np.float32)),
+                        tf.constant(np.asarray(
+                            out["observation"]["proprio"], np.float32)),
+                        tf.constant(out["language_instruction"]))
+
+            images, actions, proprio, lang = tf.py_function(
+                eager, [record],
+                [tf.string, tf.float32, tf.float32, tf.string])
+            return {"images": images, "actions": actions, "proprio": proprio,
+                    "language_instruction": lang}
+
+        ds = ds.map(standardize_record)
+
+    def to_frames(ep_or_record):
         if standardize_fn is not None:
-            ep = standardize_fn(ep)
+            ep = ep_or_record
+            ep["actions"].set_shape([None, platform.action_dim])
+            ep["proprio"].set_shape([None, platform.proprio_dim])
+        else:
+            ep = _parse_episode(ep_or_record, platform, has_wrist=False)
         actions = _normalize_tf(ep["actions"], stats["action"], norm_type)
         t = tf.shape(actions)[0]
         eff = t - future

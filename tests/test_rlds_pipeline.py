@@ -104,3 +104,23 @@ def test_interleaved_mixture(rlds_root):
         ex = next(it)
         seen.add(ex["dataset_name"])
     assert seen == {"libero_synth", "second_synth"}
+
+
+def test_standardize_fn_applies(rlds_root):
+    """NumPy OXE standardization transforms run via the eager episode path."""
+    from openvla_oft_tpu.data.datasets import RLDSBatchTransform
+    from openvla_oft_tpu.data.rlds.oxe import libero_dataset_transform
+    from openvla_oft_tpu.data.rlds.pipeline import make_rlds_iterator
+
+    proc = PrismaticProcessor(CFG)
+    transform = RLDSBatchTransform(proc, ActionTokenizer(), LIBERO)
+    it, stats = make_rlds_iterator(rlds_root, "libero_synth", transform,
+                                   LIBERO, shuffle_buffer_size=20,
+                                   image_aug=False,
+                                   standardize_fn=libero_dataset_transform)
+    ex = next(it)
+    assert ex["actions"].shape == (LIBERO.num_actions_chunk, LIBERO.action_dim)
+    assert np.isfinite(ex["actions"]).all()
+    # gripper dim was clipped to [0,1] then inverted by the transform before
+    # normalization; the normalized result stays in [-1, 1]
+    assert np.abs(ex["actions"]).max() <= 1.0 + 1e-6
