@@ -79,6 +79,7 @@ class FinetuneConfig:
 
     # TPU-native additions
     recipe: Optional[str] = None                  # named recipe (training/recipes.py)
+    multihost: bool = False                       # jax.distributed.initialize()
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
@@ -134,6 +135,13 @@ def finetune(cfg: FinetuneConfig) -> dict:
     from openvla_oft_tpu.training.train_step import (
         TrainConfig, TrainState, create_train_state, make_optimizer, train_step)
     from openvla_oft_tpu.utils.hf_import import load_openvla_checkpoint
+
+    if cfg.multihost:
+        # Multi-host TPU pods: wire up the JAX distributed runtime (the
+        # torchrun/NCCL process-group analog, SURVEY.md §2.8/§5.8).
+        jax.distributed.initialize()
+        print(f"[finetune] process {jax.process_index()}/{jax.process_count()}"
+              f" up with {jax.local_device_count()} local devices")
 
     if cfg.recipe:
         from openvla_oft_tpu.training.recipes import apply_recipe
@@ -302,14 +310,15 @@ def finetune(cfg: FinetuneConfig) -> dict:
                 print(f"[finetune] val_loss={np.mean(losses):.4f} "
                       f"({len(losses)} batches)")
 
+        from openvla_oft_tpu.data.prefetch import DevicePrefetcher
+
         start = int(state.step)
         t_start = time.time()
-        for i, batch in enumerate(batches):
+        prefetched = DevicePrefetcher(batches, sharding=batch_sharding)
+        for i, batch in enumerate(prefetched):
             step = start + i
             if step >= cfg.max_steps:
                 break
-            batch = {k: jax.device_put(v, batch_sharding)
-                     for k, v in batch.items() if k != "dataset_name"}
             state, m = step_fn(state, batch)
             metrics.commit(**{k: float(v) for k, v in m.items()})
             if step % cfg.wandb_log_freq == 0:
