@@ -182,6 +182,7 @@ def make_rlds_iterator(
     train: bool = True,
     seed: int = 0,
     standardize_fn: Optional[Callable] = None,
+    num_images: int = 1,
 ) -> Tuple[Iterator[Dict[str, np.ndarray]], Dict]:
     """Build the frame iterator + dataset statistics for one dataset.
 
@@ -251,7 +252,8 @@ def make_rlds_iterator(
             ep["actions"].set_shape([None, platform.action_dim])
             ep["proprio"].set_shape([None, platform.proprio_dim])
         else:
-            ep = _parse_episode(ep_or_record, platform, has_wrist=False)
+            ep = _parse_episode(ep_or_record, platform,
+                                has_wrist=(num_images > 1))
         actions = _normalize_tf(ep["actions"], stats["action"], norm_type)
         t = tf.shape(actions)[0]
         eff = t - future
@@ -266,6 +268,8 @@ def make_rlds_iterator(
             "language_instruction": tf.repeat(ep["language_instruction"][None],
                                               eff),
         }
+        if num_images > 1:
+            frames["image_wrist"] = ep["wrist_images"][:eff]
         proprio = ep["proprio"]
         if stats.get("proprio"):
             proprio = _normalize_tf(proprio, stats["proprio"], norm_type)
@@ -278,6 +282,12 @@ def make_rlds_iterator(
 
     def decode(frame):
         img = tf.io.decode_jpeg(frame["image_primary"], channels=3)
+        if "image_wrist" in frame:
+            # wrist camera: decode only — the reference augments only via the
+            # shared seeded transform on non-padding images; wrist follows the
+            # primary frame's crop at eval, raw at train (obs_transforms.py)
+            frame["image_wrist"] = tf.io.decode_jpeg(frame["image_wrist"],
+                                                     channels=3)
         if image_aug and train:
             seed_t = tf.stack([
                 tf.strings.to_hash_bucket_fast(frame["language_instruction"],
@@ -297,6 +307,8 @@ def make_rlds_iterator(
             rlds_batch = {
                 "observation": {
                     "image_primary": frame["image_primary"],
+                    **({"image_wrist": frame["image_wrist"]}
+                       if "image_wrist" in frame else {}),
                     **({"proprio": frame["proprio"]} if "proprio" in frame
                        else {}),
                 },

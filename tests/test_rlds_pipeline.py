@@ -124,3 +124,31 @@ def test_standardize_fn_applies(rlds_root):
     # gripper dim was clipped to [0,1] then inverted by the transform before
     # normalization; the normalized result stays in [-1, 1]
     assert np.abs(ex["actions"]).max() <= 1.0 + 1e-6
+
+
+def test_two_image_pipeline(rlds_root, tmp_path_factory):
+    """Primary + wrist images flow through to (2, n_backbones, H, W, 3)."""
+    from openvla_oft_tpu.data.datasets import RLDSBatchTransform
+    from openvla_oft_tpu.data.rlds.pipeline import (
+        make_rlds_iterator, write_episode_tfrecords)
+
+    rng = np.random.default_rng(5)
+    size = TINY_DINOV2.image_size
+    root = str(tmp_path_factory.mktemp("rlds2"))
+    episodes = [{
+        "images": [_jpeg(rng, size) for _ in range(10)],
+        "wrist_images": [_jpeg(rng, size) for _ in range(10)],
+        "actions": rng.uniform(-1, 1, (10, LIBERO.action_dim)),
+        "proprio": rng.standard_normal((10, LIBERO.proprio_dim)),
+        "language_instruction": "two camera task",
+    }]
+    import os
+    write_episode_tfrecords(os.path.join(root, "two_cam"), episodes)
+
+    proc = PrismaticProcessor(CFG)
+    transform = RLDSBatchTransform(proc, ActionTokenizer(), LIBERO)
+    it, _ = make_rlds_iterator(root, "two_cam", transform, LIBERO,
+                               shuffle_buffer_size=10, image_aug=True,
+                               num_images=2)
+    ex = next(it)
+    assert ex["pixel_values"].shape[0] == 2  # primary + wrist

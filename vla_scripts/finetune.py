@@ -251,7 +251,8 @@ def finetune(cfg: FinetuneConfig) -> dict:
             dataset, stats = make_rlds_iterator(
                 str(cfg.data_root_dir), cfg.dataset_name, transform, platform,
                 shuffle_buffer_size=cfg.shuffle_buffer_size,
-                image_aug=cfg.image_aug, train=True)
+                image_aug=cfg.image_aug, train=True,
+                num_images=cfg.num_images_in_input)
         save_dataset_statistics(stats, run_dir)
 
         collator = PaddedCollatorForActionPrediction(
@@ -295,7 +296,7 @@ def finetune(cfg: FinetuneConfig) -> dict:
                 val_ds, _ = make_rlds_iterator(
                     str(cfg.data_root_dir), cfg.dataset_name, transform,
                     platform, shuffle_buffer_size=1000, image_aug=False,
-                    train=False)
+                    train=False, num_images=cfg.num_images_in_input)
             t0, losses = time.time(), []
             key = jax.random.PRNGKey(4242)
             for vb in batch_iterator(val_ds, cfg.batch_size, collator):
