@@ -1,0 +1,44 @@
+"""Goal relabeling + task augmentation (reference
+`prismatic/vla/datasets/rlds/utils/{goal_relabeling,task_augmentation}.py`).
+
+- `uniform_goal_relabel`: for each frame, pick a uniformly random FUTURE frame
+  of the same trajectory as the goal image (hindsight relabeling).
+- `keep_image_or_language`: task augmentation by modality dropout — with some
+  probability keep only the goal image or only the language instruction,
+  training the policy to follow either conditioning alone.
+
+NumPy implementations operating on per-trajectory dicts; the tf.data pipeline
+applies them in the eager standardization stage.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def uniform_goal_relabel(traj: Dict, rng: np.random.Generator) -> Dict:
+    """Attach `task/image_goal` = frames[t'] with t' ~ Uniform[t, T)."""
+    images = traj["images"]
+    t = len(images)
+    goal_idx = rng.integers(np.arange(t), t)  # per-frame uniform future index
+    traj.setdefault("task", {})["image_goal_idx"] = goal_idx
+    traj["task"]["image_goal"] = [images[i] for i in goal_idx]
+    return traj
+
+
+def keep_image_or_language(traj: Dict, rng: np.random.Generator,
+                           keep_image_prob: float = 0.5) -> Dict:
+    """Modality dropout: goal-image-only or language-only conditioning."""
+    task = traj.setdefault("task", {})
+    has_both = "image_goal" in task and traj.get("language_instruction")
+    if not has_both:
+        return traj
+    if rng.random() < keep_image_prob:
+        traj["language_instruction"] = b"" if isinstance(
+            traj["language_instruction"], bytes) else ""
+    else:
+        task.pop("image_goal", None)
+        task.pop("image_goal_idx", None)
+    return traj

@@ -335,6 +335,28 @@ def finetune(cfg: FinetuneConfig) -> dict:
                                 {"trainables": state.trainables,
                                  "opt_state": state.opt_state})
                 print(f"[finetune] saved checkpoint at step {step + 1}")
+                if cfg.merge_lora_during_training and cfg.use_lora:
+                    # In-training LoRA merge + reference-format export
+                    # (finetune.py:663-675). Host-side NumPy merge so the
+                    # device never holds a second full weight copy.
+                    from openvla_oft_tpu.training.lora import (
+                        merge_lora_into_params)
+                    from openvla_oft_tpu.utils.hf_import import (
+                        export_openvla_checkpoint)
+
+                    host_base = jax.tree_util.tree_map(np.asarray, base)
+                    host_lora = jax.tree_util.tree_map(
+                        np.asarray, jax.device_get(state.trainables["lora"]))
+                    with jax.default_device(jax.devices("cpu")[0]):
+                        merged = merge_lora_into_params(
+                            jax.tree_util.tree_map(jnp.asarray, host_base),
+                            jax.tree_util.tree_map(jnp.asarray, host_lora),
+                            rank=cfg.lora_rank,
+                            alpha=float(min(cfg.lora_rank, 16)))
+                    out = os.path.join(run_dir, f"merged--{step + 1}_chkpt")
+                    export_openvla_checkpoint(model_cfg, merged, out,
+                                              norm_stats=norm_stats)
+                    print(f"[finetune] merged LoRA checkpoint -> {out}")
 
         metrics.finalize()
         elapsed = time.time() - t_start
