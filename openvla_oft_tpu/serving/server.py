@@ -7,8 +7,8 @@ double-encoding escape hatch — on FastAPI/uvicorn when installed, else on a
 stdlib ThreadingHTTPServer (no extra dependencies, same endpoints).
 
 The policy callable is injected, so the server is model-agnostic: anything
-with `predict_from_observation(observation: dict, instruction: str) ->
-np.ndarray` works (see serving/policy_adapter.py for the OpenVLA one).
+with `predict(observation: dict, instruction: str) -> np.ndarray`
+works (vla_scripts/deploy.py::OpenVLAServer.predict is the OpenVLA one).
 """
 
 from __future__ import annotations

@@ -113,3 +113,56 @@ def test_gripper_conventions():
     np.testing.assert_array_equal(out[:-1], a[:-1])
     inv = invert_gripper_action(out)
     assert inv[-1] == -1.0
+
+
+def test_device_prefetcher():
+    from openvla_oft_tpu.data.prefetch import DevicePrefetcher
+
+    batches = ({"x": np.full((2, 2), i), "dataset_name": "d"} for i in range(5))
+    pf = DevicePrefetcher(batches, depth=2)
+    seen = [int(np.asarray(b["x"])[0, 0]) for b in pf]
+    assert seen == [0, 1, 2, 3, 4]
+    assert all("dataset_name" not in b for b in [])
+    # error propagation
+    def bad():
+        yield {"x": np.ones(2)}
+        raise RuntimeError("source died")
+    pf2 = DevicePrefetcher(bad())
+    next(pf2)
+    with pytest.raises(RuntimeError):
+        next(pf2)
+
+
+def test_vlm_pretrain_dataset(tmp_path):
+    import json
+    from PIL import Image
+
+    from openvla_oft_tpu.config import OpenVLAConfig
+    from openvla_oft_tpu.constants import IGNORE_INDEX
+    from openvla_oft_tpu.data.vlm_datasets import VLMPretrainDataset
+    from openvla_oft_tpu.processing.processor import PrismaticProcessor
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.config import TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP
+
+    C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+    C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama")
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+        img_dir / "0.jpg")
+    recs = [{"id": "0", "image": "0.jpg", "conversations": [
+        {"from": "human", "value": "<image>\nDescribe."},
+        {"from": "gpt", "value": "A pattern."}]}]
+    jp = tmp_path / "d.json"
+    jp.write_text(json.dumps(recs))
+    ds = VLMPretrainDataset(str(jp), str(img_dir),
+                            PrismaticProcessor(cfg), stage="align",
+                            llm_backbone_id="tiny-llama")
+    ex = next(iter(ds))
+    assert ex["pixel_values"].shape[0] == 1
+    # align stage: prompt masked, answer supervised
+    assert (ex["labels"] == IGNORE_INDEX).sum() > 0
+    assert (ex["labels"] != IGNORE_INDEX).sum() > 0
