@@ -96,6 +96,12 @@ class OpenVLAPolicy:
     tokenizer: Any = None
 
     def __post_init__(self):
+        if self.tokenizer is None:
+            # Deterministic stand-in; real deployments load the checkpoint's
+            # Llama tokenizer (processing.processor.load_tokenizer).
+            from openvla_oft_tpu.processing.processor import FakeLlamaTokenizer
+
+            self.tokenizer = FakeLlamaTokenizer()
         self._predict_jit = jax.jit(
             functools.partial(self._predict_impl),
             static_argnames=("compute_logits",))

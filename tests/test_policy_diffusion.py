@@ -1,0 +1,79 @@
+"""OpenVLAPolicy end-to-end for the diffusion head (scanned DDIM loop) and
+LIBERO eval observation helpers."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import openvla_oft_tpu.config as C
+from openvla_oft_tpu.config import OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP
+from openvla_oft_tpu.constants import LIBERO
+from openvla_oft_tpu.policy import OpenVLAPolicy, init_openvla_params
+
+C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+CFG = OpenVLAConfig(vision_backbone_id="tiny-dual", llm_backbone_id="tiny-llama")
+
+
+def test_diffusion_policy_end_to_end(rng):
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head="diffusion")
+    policy = OpenVLAPolicy(cfg=CFG, platform=LIBERO, params=params,
+                           head="diffusion", prompt_bucket=24,
+                           num_diffusion_steps_inference=5)
+    h = TINY_DINOV2.image_size
+    pixels = rng.random((1, 2, h, h, 3)).astype(np.float32)
+    proprio = rng.random(LIBERO.proprio_dim).astype(np.float32)
+    a1 = policy.predict_action(pixels, "shake the bottle", proprio=proprio)
+    assert a1.shape == (LIBERO.num_actions_chunk, LIBERO.action_dim)
+    assert np.isfinite(a1).all()
+    # fresh starting noise each call -> different trajectories (no stats, so
+    # outputs are the raw denoised actions)
+    a2 = policy.predict_action(pixels, "shake the bottle", proprio=proprio)
+    assert np.abs(a1 - a2).max() > 1e-6
+
+
+def test_libero_eval_helpers(rng):
+    from experiments.robot.libero.libero_utils import quat2axisangle
+    from experiments.robot.libero.run_libero_eval import (
+        GenerateConfig,
+        prepare_observation,
+        process_action,
+        validate_config,
+    )
+
+    # quat -> axis-angle: identity quaternion maps to zero rotation
+    np.testing.assert_allclose(quat2axisangle(np.asarray([0, 0, 0, 1.0])),
+                               np.zeros(3), atol=1e-9)
+    # 90 deg about z
+    q = np.asarray([0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)])
+    aa = quat2axisangle(q)
+    np.testing.assert_allclose(aa, [0, 0, np.pi / 2], atol=1e-6)
+
+    obs = {
+        "agentview_image": (rng.random((64, 64, 3)) * 255).astype(np.uint8),
+        "robot0_eye_in_hand_image": (rng.random((64, 64, 3)) * 255
+                                     ).astype(np.uint8),
+        "robot0_eef_pos": np.zeros(3),
+        "robot0_eef_quat": np.asarray([0, 0, 0, 1.0]),
+        "robot0_gripper_qpos": np.asarray([0.02, -0.02]),
+    }
+    observation, img = prepare_observation(obs, 224)
+    assert observation["state"].shape == (8,)
+    assert observation["full_image"].shape == (64, 64, 3)
+    # image was flipped upright
+    np.testing.assert_array_equal(img, obs["agentview_image"][::-1, ::-1])
+
+    a = process_action(np.asarray([0.1, 0, 0, 0, 0, 0, 0.9]), "openvla")
+    assert a[-1] == -1.0  # [0,1] -> binarized +1 -> inverted
+
+    cfg = GenerateConfig(pretrained_checkpoint="x--image_aug", center_crop=True)
+    validate_config(cfg)
+    with pytest.raises(AssertionError):
+        validate_config(GenerateConfig(pretrained_checkpoint=""))
