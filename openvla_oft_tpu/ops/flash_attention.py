@@ -140,3 +140,102 @@ def flash_attention(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# === All-heads-per-block variant ===
+# Consumes q/k/v natively as (B, S, H, D) blocks — zero HBM transposes; the
+# per-head attention runs as an unrolled loop over VMEM-resident slices. k/v
+# blocks are indexed only by batch, so Pallas keeps them resident across the
+# query-block grid dimension.
+#
+# Measured (v5e, 7B, S=618): 59.7 ms full-llama vs 50.6 ms XLA — the 32
+# small per-head (128,128)x(128,640) matmuls underutilize the MXU pipeline,
+# costing more than the avoided transposes. Kept as a tested variant for
+# shapes with larger per-head work (docs/PERFORMANCE.md).
+def _kernel_allheads(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *,
+                     scale, bq, causal, num_heads, rep):
+    qi = pl.program_id(1)
+    t = k_ref.shape[1]
+
+    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
+    valid = valid_ref[0, 0:1, :] > 0
+    base_allow = jnp.broadcast_to(valid, (bq, t))
+    if causal:
+        base_allow = base_allow & (cols <= rows)
+    bid = bidir_ref[0, 0:1, :] > 0
+    q_bid = bidir_ref[0, 0, pl.ds(qi * bq, bq)].reshape(bq, 1) > 0
+    allow = base_allow | (q_bid & bid & valid)
+
+    for hi in range(num_heads):
+        q = q_ref[0, :, hi, :].astype(jnp.float32)          # (BQ, D)
+        k = k_ref[0, :, hi // rep, :].astype(jnp.float32)   # (T, D)
+        v = v_ref[0, :, hi // rep, :].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(allow, scores, _NEG_INF)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = jnp.where(allow, p, 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, hi, :] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention_allheads(
+    q: jnp.ndarray,                 # (B, S, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    is_causal: bool = True,
+    key_valid: Optional[jnp.ndarray] = None,
+    bidir_mask: Optional[jnp.ndarray] = None,
+    bidir_block: Optional[Tuple[int, int]] = None,
+    block_q: int = 128,
+) -> jnp.ndarray:
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    if bidir_mask is None:
+        bidir_mask = jnp.zeros((b, s), bool)
+        if bidir_block is not None:
+            w0, wl = bidir_block
+            bidir_mask = bidir_mask.at[:, w0:w0 + wl].set(True)
+    if key_valid is None:
+        key_valid = jnp.ones((b, s), bool)
+
+    bq = min(block_q, _round_up(s, 128))
+    s_pad = _round_up(s, bq)
+    if s_pad != s:
+        pad = s_pad - s
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        key_valid = jnp.pad(key_valid, ((0, 0), (0, pad)))
+        bidir_mask = jnp.pad(bidir_mask, ((0, 0), (0, pad)))
+
+    valid8 = jnp.broadcast_to(key_valid.astype(jnp.int32)[:, None, :],
+                              (b, 8, s_pad))
+    bidir8 = jnp.broadcast_to(bidir_mask.astype(jnp.int32)[:, None, :],
+                              (b, 8, s_pad))
+    kernel = functools.partial(_kernel_allheads, scale=d ** -0.5, bq=bq,
+                               causal=is_causal, num_heads=h, rep=h // hkv)
+    interpret = jax.devices()[0].platform not in ("tpu",)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, h, d), lambda bi, qi: (bi, qi, 0, 0)),
+            pl.BlockSpec((1, s_pad, hkv, d), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, s_pad, hkv, d), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, h, d), lambda bi, qi: (bi, qi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, valid8, bidir8)
+    return out[:, :s]

@@ -85,3 +85,29 @@ def test_attention_dispatch_1d_masks_consistent(rng):
     sel = np.asarray(key_valid)
     np.testing.assert_allclose(np.asarray(fla)[sel], np.asarray(xla)[sel],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_allheads_matches_xla(rng):
+    """All-heads-per-block kernel variant (no HBM transposes)."""
+    from openvla_oft_tpu.ops.flash_attention import flash_attention_allheads
+
+    b, s = 2, 70
+    q, k, v = _qkv(rng, b=b, s=s)
+    key_valid = jnp.ones((b, s), bool).at[0, :9].set(False)
+    bidir = jnp.zeros((b, s), bool).at[:, 50:60].set(True)
+    out = flash_attention_allheads(q, k, v, is_causal=True,
+                                   key_valid=key_valid, bidir_mask=bidir)
+    ref = attention_xla(q, k, v, mask=_dense_from_1d(key_valid, bidir, s))
+    sel = np.asarray(key_valid)
+    np.testing.assert_allclose(np.asarray(out)[sel], np.asarray(ref)[sel],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_allheads_gqa(rng):
+    from openvla_oft_tpu.ops.flash_attention import flash_attention_allheads
+
+    q, k, v = _qkv(rng, h=8, hkv=2)
+    out = flash_attention_allheads(q, k, v, is_causal=True)
+    ref = attention_xla(q, k, v, is_causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
