@@ -146,3 +146,45 @@ def test_orbax_roundtrip(tmp_path):
     restored = restore_checkpoint(d, 100, template=tree)
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
     assert restored["nested"]["b"].dtype == jnp.bfloat16
+
+
+def test_sharded_safetensors_load(tmp_path):
+    """Multi-shard checkpoints (model-00001-of-0000N.safetensors) load."""
+    from safetensors.numpy import save_file
+
+    from openvla_oft_tpu.utils.hf_import import (
+        export_llama,
+        load_openvla_checkpoint,
+    )
+    from openvla_oft_tpu.models.llama import init_llama_params
+    from openvla_oft_tpu.config import TINY_LLAMA
+    from openvla_oft_tpu.policy import init_openvla_params
+
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head=None)
+    base = {k: params[k] for k in ("llm", "vision_backbone", "projector")}
+    # export single-file then split into two shards by key
+    from openvla_oft_tpu.utils.hf_import import export_openvla_checkpoint
+    import json, os
+
+    d = tmp_path / "sharded"
+    export_openvla_checkpoint(CFG, base, str(d))
+    from safetensors import safe_open
+
+    single = d / "model.safetensors"
+    tensors = {}
+    with safe_open(str(single), framework="np") as f:
+        for k in f.keys():
+            tensors[k] = f.get_tensor(k)
+    keys = sorted(tensors)
+    half = len(keys) // 2
+    save_file({k: tensors[k] for k in keys[:half]},
+              str(d / "model-00001-of-00002.safetensors"))
+    save_file({k: tensors[k] for k in keys[half:]},
+              str(d / "model-00002-of-00002.safetensors"))
+    os.remove(single)
+
+    cfg2, params2, _ = load_openvla_checkpoint(str(d))
+    np.testing.assert_allclose(
+        np.asarray(params2["llm"]["final_norm"]["scale"]),
+        np.asarray(base["llm"]["final_norm"]["scale"]), atol=1e-6)
