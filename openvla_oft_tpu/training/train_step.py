@@ -172,6 +172,36 @@ def loss_and_metrics(
         preds = jnp.argmax(logits, axis=-1)
         acc = jnp.sum((preds == labels) & valid) / jnp.maximum(jnp.sum(valid), 1)
         metrics["token_accuracy"] = acc
+        # Current vs next action accuracy + continuous L1 from bin centers
+        # (reference finetune.py:363-377 / train_utils.py:42-56), computed
+        # in-jit via the uniform-bin decode.
+        from openvla_oft_tpu.constants import LLAMA2_VOCAB_SIZE, N_ACTION_BINS
+        from openvla_oft_tpu.ops.masks import (
+            get_current_action_mask,
+            get_next_actions_mask,
+        )
+
+        cur = get_current_action_mask(labels, platform.action_dim)
+        nxt = get_next_actions_mask(labels, platform.action_dim)
+        bins = jnp.linspace(-1.0, 1.0, N_ACTION_BINS)
+        centers = (bins[:-1] + bins[1:]) / 2.0
+
+        def decode(ids):
+            d = jnp.clip(LLAMA2_VOCAB_SIZE - ids - 1, 0, N_ACTION_BINS - 2)
+            return centers[d]
+
+        def masked_acc(mask):
+            return jnp.sum((preds == labels) & mask) / jnp.maximum(
+                jnp.sum(mask), 1)
+
+        def masked_l1(mask):
+            diff = jnp.abs(decode(preds) - decode(labels)) * mask
+            return jnp.sum(diff) / jnp.maximum(jnp.sum(mask), 1)
+
+        metrics["curr_action_accuracy"] = masked_acc(cur)
+        metrics["next_actions_accuracy"] = masked_acc(nxt)
+        metrics["curr_action_l1_loss"] = masked_l1(cur)
+        metrics["next_actions_l1_loss"] = masked_l1(nxt)
     else:
         raise ValueError(f"Unknown objective {cfg.objective!r}")
 
