@@ -32,7 +32,11 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         second full-size weight copy is ever materialized (the merge-based
         formulation costs an extra 14.8 GB HBM copy per step on the 7B).
     """
-    if p["kernel"].dtype == jnp.int8:
+    if "kernel_q4" in p:
+        from openvla_oft_tpu.ops.quant import int4_linear
+
+        y = int4_linear(p, x)
+    elif p["kernel"].dtype == jnp.int8:
         from openvla_oft_tpu.ops.quant import int8_linear
 
         y = int8_linear(p, x)

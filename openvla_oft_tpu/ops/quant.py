@@ -52,12 +52,67 @@ def int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def quantize_tree(params: Params, min_dim: int = 1024) -> Params:
+# === Int4 weight-only (reference `load_in_4bit` analog) ===
+# Group-wise symmetric 4-bit weights packed two-per-int8; dequantized to the
+# activation dtype at use. Halves weight memory vs int8 (7B Llama: 3.7 GB);
+# the dequant materializes only one layer's weights transiently, so the
+# capacity win holds even though the matmul itself runs in bf16.
+INT4_GROUP = 128
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> Dict[str, jnp.ndarray]:
+    """(..., in, out) float -> packed {"kernel_q4": int8 (..., in/2, out),
+    "scale_w4": f32 (..., in/group, out)}. Requires in % (2*group) == 0... in
+    practice in % group == 0 and group even."""
+    *lead, d_in, d_out = w.shape
+    group = min(group, d_in)  # tiny test configs have d_in < the group size
+    assert d_in % group == 0 and group % 2 == 0, (d_in, group)
+    wf = w.astype(jnp.float32).reshape(*lead, d_in // group, group, d_out)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = absmax / 7.0
+    q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)), -7, 7
+                 ).astype(jnp.int8)
+    q = q.reshape(*lead, d_in, d_out)
+    low, high = q[..., 0::2, :], q[..., 1::2, :]
+    packed = ((high.astype(jnp.uint8) << 4) |
+              (low.astype(jnp.uint8) & 0xF)).astype(jnp.int8)
+    return {"kernel_q4": packed, "scale_w4": scale[..., 0, :].reshape(
+        *lead, d_in // group, d_out)}
+
+
+def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """int8 (..., in/2, out) -> int8 (..., in, out), sign-extended nibbles."""
+    low = jnp.left_shift(packed, 4)
+    low = jnp.right_shift(low, 4)                        # sign-extend low nibble
+    high = jnp.right_shift(packed, 4)                    # arithmetic shift
+    *lead, half, d_out = packed.shape
+    stacked = jnp.stack([low, high], axis=-2)            # (..., half, 2, out)
+    return stacked.reshape(*lead, half * 2, d_out)
+
+
+def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Dequantize group-wise int4 weights to x.dtype and matmul."""
+    q = _unpack_int4(p["kernel_q4"]).astype(jnp.float32)
+    *lead, d_in, d_out = q.shape
+    groups = p["scale_w4"].shape[-2]
+    w = (q.reshape(*lead, groups, d_in // groups, d_out)
+         * p["scale_w4"][..., :, None, :]).reshape(*lead, d_in, d_out)
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_tree(params: Params, min_dim: int = 1024,
+                  bits: int = 8) -> Params:
     """Quantize every 'kernel' leaf whose contraction dim >= min_dim.
 
+    bits=8 -> int8 weights + dynamic int8 activations (MXU int8 path);
+    bits=4 -> packed int4 weights, dequantized to bf16 at use (capacity).
     Norm scales, biases, embeddings, and small projections stay high
     precision (standard weight-only-quant practice).
     """
+    assert bits in (4, 8)
 
     def visit(node):
         if isinstance(node, dict):
@@ -65,10 +120,16 @@ def quantize_tree(params: Params, min_dim: int = 1024) -> Params:
                     and node["kernel"].ndim >= 2 \
                     and node["kernel"].dtype != jnp.int8 \
                     and node["kernel"].shape[-2] >= min_dim:
-                q = quantize_weight(node["kernel"])
                 out = dict(node)
-                out["kernel"] = q["kernel"]
-                out["scale_w"] = q["scale_w"]
+                if bits == 8:
+                    q = quantize_weight(node["kernel"])
+                    out["kernel"] = q["kernel"]
+                    out["scale_w"] = q["scale_w"]
+                else:
+                    q = quantize_weight_int4(node["kernel"])
+                    del out["kernel"]
+                    out["kernel_q4"] = q["kernel_q4"]
+                    out["scale_w4"] = q["scale_w4"]
                 return out
             return {k: visit(v) for k, v in node.items()}
         if isinstance(node, list):

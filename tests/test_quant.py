@@ -84,3 +84,69 @@ def test_quantized_predict_end_to_end(rng):
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.1, rel  # tiny random model, cumulative layer error
     assert np.isfinite(b).all()
+
+
+def test_int4_linear_error_bounded(rng):
+    from openvla_oft_tpu.ops.quant import int4_linear, quantize_weight_int4
+
+    d_in, d_out, t = 256, 64, 8
+    w = rng.standard_normal((d_in, d_out)).astype(np.float32) * 0.05
+    x = rng.standard_normal((t, d_in)).astype(np.float32)
+    q = quantize_weight_int4(jnp.asarray(w))
+    assert q["kernel_q4"].shape == (d_in // 2, d_out)
+    assert q["scale_w4"].shape == (d_in // 128, d_out)
+    ref = x @ w
+    out = np.asarray(int4_linear(q, jnp.asarray(x)))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    # inherent 4-bit/group-128 error on gaussian weights: per-weight error is
+    # up to absmax/14 (~7% of max for N(0, s)); output error accumulates
+    assert rel < 0.2, rel
+    # exact when weights already sit on the int4 grid
+    scale = 0.01
+    w_grid = (rng.integers(-7, 8, (256, 64)) * scale).astype(np.float32)
+    qg = quantize_weight_int4(jnp.asarray(w_grid))
+    outg = np.asarray(int4_linear(qg, jnp.asarray(x)))
+    np.testing.assert_allclose(outg, x @ w_grid, rtol=1e-4, atol=1e-4)
+
+
+def test_int4_roundtrip_exact_values(rng):
+    """Unpack(pack(q)) == q for the full int4 range incl. negatives."""
+    from openvla_oft_tpu.ops.quant import _unpack_int4
+
+    q = jnp.asarray(rng.integers(-7, 8, (64, 32)), jnp.int8)
+    low, high = q[0::2], q[1::2]
+    packed = ((high.astype(jnp.uint8) << 4)
+              | (low.astype(jnp.uint8) & 0xF)).astype(jnp.int8)
+    un = np.asarray(_unpack_int4(packed))
+    np.testing.assert_array_equal(un, np.asarray(q))
+
+
+def test_quantize_tree_int4_end_to_end(rng):
+    from openvla_oft_tpu.models.prismatic import predict_action_hidden
+    from openvla_oft_tpu.ops.quant import quantize_tree
+    from openvla_oft_tpu.policy import init_openvla_params
+
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama")
+    params = init_openvla_params(jax.random.PRNGKey(0), cfg, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    qparams = dict(params)
+    qparams["llm"] = quantize_tree(params["llm"], min_dim=64, bits=4)
+    # stacked llama kernels got packed
+    assert "kernel_q4" in qparams["llm"]["layers"]["attn"]["wq"]
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((1, 1, 2, h, h, 3)), jnp.float32)
+    ids = np.zeros((1, 10), np.int32)
+    ids[0, 2:] = [1, 5, 6, 7, 8, 9, 10, EMPTY_TOKEN_ID]
+    mask = np.zeros((1, 10), np.int32)
+    mask[0, 2:] = 1
+    ref = predict_action_hidden(params, cfg, LIBERO,
+                                input_ids=jnp.asarray(ids),
+                                prompt_mask=jnp.asarray(mask), pixels=pixels)
+    out = predict_action_hidden(qparams, cfg, LIBERO,
+                                input_ids=jnp.asarray(ids),
+                                prompt_mask=jnp.asarray(mask), pixels=pixels)
+    a, b = np.asarray(ref.actions_hidden), np.asarray(out.actions_hidden)
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.35, rel  # 4-bit on a tiny random model is coarse
