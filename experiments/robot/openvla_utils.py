@@ -113,6 +113,17 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
             num_images_in_input=getattr(cfg, "num_images_in_input", 1),
             use_film=getattr(cfg, "use_film", False))
 
+    # Quantized inference (reference load_in_8bit/4bit via bitsandbytes,
+    # openvla_utils.py:282-303 — here the TPU int8 MXU / packed-int4 paths).
+    if getattr(cfg, "load_in_8bit", False):
+        from openvla_oft_tpu.ops.quant import quantize_tree
+
+        params["llm"] = quantize_tree(params["llm"], min_dim=1024, bits=8)
+    elif getattr(cfg, "load_in_4bit", False):
+        from openvla_oft_tpu.ops.quant import quantize_tree
+
+        params["llm"] = quantize_tree(params["llm"], min_dim=1024, bits=4)
+
     tokenizer = _try_tokenizer(ckpt)
     return OpenVLAPolicy(
         cfg=model_cfg, platform=platform, params=params, norm_stats=norm_stats,

@@ -103,3 +103,22 @@ def test_discrete_eval_path(exported_ckpt, rng):
     stacked = np.stack(actions)
     assert stacked.shape == (8, 7)
     assert np.isfinite(stacked).all()
+
+
+def test_get_vla_quantized_flags(exported_ckpt, rng):
+    """load_in_8bit / load_in_4bit flags quantize the LLM at load."""
+    import jax.numpy as jnp
+
+    from experiments.robot.openvla_utils import get_vla
+
+    cfg = _eval_cfg(exported_ckpt)
+    cfg.load_in_8bit = True
+    vla8 = get_vla(cfg)
+    # tiny dims < 1024 min_dim -> nothing quantized, but the path must run;
+    # force a lower threshold scenario via direct call instead
+    from openvla_oft_tpu.ops.quant import quantize_tree
+
+    q = quantize_tree(vla8.params["llm"], min_dim=32, bits=8)
+    assert q["layers"]["attn"]["wq"]["kernel"].dtype == jnp.int8
+    q4 = quantize_tree(vla8.params["llm"], min_dim=32, bits=4)
+    assert "kernel_q4" in q4["layers"]["attn"]["wq"]
