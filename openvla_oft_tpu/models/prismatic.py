@@ -94,7 +94,13 @@ def _patch_block(
 def _masked_mean_language_embedding(text_embeds: jnp.ndarray,
                                     valid: jnp.ndarray) -> jnp.ndarray:
     """Mean of valid (non-action, non-pad) text embeddings for FiLM
-    (film_vit_wrapper.py:241-242)."""
+    (film_vit_wrapper.py:241-242).
+
+    Deliberate divergence: the reference's training-time mean includes PAD
+    embeddings of right-padded batches (it averages everything outside the
+    action mask); we exclude pads, which matches the reference's *inference*
+    behavior (batch-1, no pads) and removes a batch-composition dependence.
+    """
     w = valid.astype(jnp.float32)[..., None]
     s = jnp.sum(text_embeds.astype(jnp.float32) * w, axis=1)
     return s / jnp.maximum(jnp.sum(w, axis=1), 1.0)
