@@ -101,6 +101,14 @@ class LlamaConfig:
 
 
 LLAMA2_7B = LlamaConfig()
+LLAMA2_13B = LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                         num_layers=40, num_heads=40, num_kv_heads=40)
+# Mistral-7B (reference `llm/mistral.py`): GQA with 8 kv heads; its sliding
+# window (4096) exceeds every VLA sequence here, so plain causal attention is
+# exact for this workload.
+MISTRAL_7B = LlamaConfig(vocab_size=32000 + PAD_TO_MULTIPLE_OF,
+                         intermediate_size=14336, num_kv_heads=8,
+                         max_position_embeddings=32768)
 
 
 # Reference `VISION_BACKBONE_TO_TIMM_ID` (`configuration_prismatic.py:26-38`)
@@ -118,6 +126,12 @@ _VISION_REGISTRY: Dict[str, Tuple[ViTConfig, ...]] = {
 _LLM_REGISTRY: Dict[str, LlamaConfig] = {
     "llama2-7b-pure": LLAMA2_7B,
     "llama2-7b-chat": LLAMA2_7B,
+    "llama2-13b-pure": LLAMA2_13B,
+    "llama2-13b-chat": LLAMA2_13B,
+    "vicuna-v15-7b": LLAMA2_7B,
+    "vicuna-v15-13b": LLAMA2_13B,
+    "mistral-v0.1-7b-pure": MISTRAL_7B,
+    "mistral-v0.1-7b-instruct": MISTRAL_7B,
 }
 
 

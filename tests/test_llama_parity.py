@@ -123,3 +123,28 @@ def test_kv_cache_decode_matches_full_forward(hf_and_jax, rng):
         outs.append(np.asarray(h)[:, 0])
     np.testing.assert_allclose(np.stack(outs, 1), np.asarray(full[:, 6:10]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gqa_mistral_style_matches_hf(rng):
+    """GQA (Mistral backbone family): kv heads < heads, vs HF Mistral."""
+    from transformers import MistralConfig as HFMistral
+    from transformers import MistralForCausalLM
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=160,
+                      num_layers=2, num_heads=8, num_kv_heads=2,
+                      rope_theta=10000.0, max_position_embeddings=512)
+    torch.manual_seed(1)
+    hf = MistralForCausalLM(HFMistral(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads, rope_theta=cfg.rope_theta,
+        sliding_window=None, tie_word_embeddings=False,
+        attn_implementation="eager")).eval()
+    params = {"llm": port_hf_llama(dict_getter(hf.state_dict()), cfg)}
+    x = rng.standard_normal((2, 11, cfg.hidden_size)).astype(np.float32)
+    ours = llama_model(params["llm"], cfg, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = hf.model(inputs_embeds=torch.from_numpy(x)).last_hidden_state
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               rtol=3e-5, atol=3e-5)
