@@ -43,12 +43,16 @@ class ViTConfig:
     # timm `no_embed_class`: position embeddings apply to patch tokens only
     # (prefix cls/reg tokens get none). True for DINOv2-reg4.
     pos_embed_patches_only: bool = False
+    use_pre_norm: bool = False     # CLIP: LayerNorm before the block stack
+    act: str = "gelu"              # "gelu" (exact) | "quick_gelu" (CLIP)
     mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     interpolation: str = "bicubic"
 
     @property
     def grid_size(self) -> int:
+        # timm's stride-`patch` conv floors (e.g. SigLIP-384: 384//14 = 27,
+        # dropping the last 6 pixels); patchify crops to match.
         return self.image_size // self.patch_size
 
     @property
@@ -78,6 +82,26 @@ DINOV2_VIT_L_224 = ViTConfig(
     pos_embed_patches_only=True,
     mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
 )
+
+import dataclasses as _dc
+
+SIGLIP_SO400M_384 = _dc.replace(SIGLIP_SO400M_224, image_size=384)
+DINOV2_VIT_L_336 = _dc.replace(DINOV2_VIT_L_224, image_size=336)
+DINOV2_VIT_L_384 = _dc.replace(DINOV2_VIT_L_224, image_size=384)
+
+# CLIP ViT-L/14 (timm `vit_large_patch14_clip_*.openai`): class token, pre-norm
+# before the blocks, quick-GELU activation (configuration_prismatic.py:40-45).
+_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+CLIP_VIT_L_224 = ViTConfig(width=1024, depth=24, num_heads=16, mlp_dim=4096,
+                           num_cls_tokens=1, use_pre_norm=True,
+                           act="quick_gelu", mean=_CLIP_MEAN, std=_CLIP_STD)
+CLIP_VIT_L_336 = _dc.replace(CLIP_VIT_L_224, image_size=336)
+
+# IN1K ViT-L/16 (timm `vit_large_patch16_224.augreg_in21k_ft_in1k`).
+IN1K_VIT_L_224 = ViTConfig(width=1024, depth=24, num_heads=16, mlp_dim=4096,
+                           patch_size=16, num_cls_tokens=1,
+                           mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,8 +143,14 @@ MISTRAL_7B = LlamaConfig(vocab_size=32000 + PAD_TO_MULTIPLE_OF,
 # channels stack in the same order (processing_prismatic.py:128-148).
 _VISION_REGISTRY: Dict[str, Tuple[ViTConfig, ...]] = {
     "dinosiglip-vit-so-224px": (DINOV2_VIT_L_224, SIGLIP_SO400M_224),
+    "dinosiglip-vit-so-384px": (DINOV2_VIT_L_384, SIGLIP_SO400M_384),
+    "dinoclip-vit-l-336px": (DINOV2_VIT_L_336, CLIP_VIT_L_336),
     "siglip-vit-so400m": (SIGLIP_SO400M_224,),
+    "siglip-vit-so400m-384px": (SIGLIP_SO400M_384,),
     "dinov2-vit-l": (DINOV2_VIT_L_224,),
+    "clip-vit-l": (CLIP_VIT_L_224,),
+    "clip-vit-l-336px": (CLIP_VIT_L_336,),
+    "in1k-vit-l": (IN1K_VIT_L_224,),
 }
 
 _LLM_REGISTRY: Dict[str, LlamaConfig] = {

@@ -35,6 +35,7 @@ from openvla_oft_tpu.ops.layers import (
     init_linear,
     layer_norm,
     linear,
+    quick_gelu,
 )
 
 Params = Dict[str, Any]
@@ -74,6 +75,8 @@ def init_vit_params(key, cfg: ViTConfig, dtype=jnp.bfloat16) -> Params:
         p["cls_token"] = jnp.zeros((cfg.num_cls_tokens, d), dtype)
     if cfg.num_reg_tokens:
         p["reg_token"] = jnp.zeros((cfg.num_reg_tokens, d), dtype)
+    if cfg.use_pre_norm:
+        p["norm_pre"] = init_layer_norm(d, dtype)
     if cfg.use_layer_scale:
         p["layers"]["ls1"] = {"scale_factor": 1e-5 * jnp.ones((L, d), dtype)}
         p["layers"]["ls2"] = {"scale_factor": 1e-5 * jnp.ones((L, d), dtype)}
@@ -96,10 +99,13 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, N, patch*patch*3), row-major patch grid.
 
     Flatten order within a patch is (dy, dx, c) — `port_timm_patch_embed` in
-    utils/weights.py permutes the torch conv kernel to match.
+    utils/weights.py permutes the torch conv kernel to match. Trailing pixels
+    beyond a patch multiple are cropped (timm's stride-`patch` conv floors,
+    e.g. SigLIP-384: 27x27 patches from 384px).
     """
     b, h, w, c = images.shape
     gh, gw = h // patch, w // patch
+    images = images[:, :gh * patch, :gw * patch]
     x = images.reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, p, p, c)
     return x.reshape(b, gh * gw, patch * patch * c)
@@ -129,7 +135,8 @@ def _vit_block(
         x = x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
 
     xm = layer_norm(p["norm2"], x)
-    m = linear(p["mlp"]["fc2"], gelu(linear(p["mlp"]["fc1"], xm)))
+    act = quick_gelu if cfg.act == "quick_gelu" else gelu
+    m = linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], xm)))
     if "ls2" in p:
         m = m * p["ls2"]["scale_factor"]
     return x + m
@@ -174,6 +181,9 @@ def vit_featurize(
         if prefix:
             x = jnp.concatenate(prefix + [x], axis=1)
         x = x + params["pos_embed"].astype(x.dtype)
+
+    if cfg.use_pre_norm:
+        x = layer_norm(params["norm_pre"], x)
 
     # Precompute per-block FiLM (gamma, beta): (L, 2, B, width).
     film_all = None

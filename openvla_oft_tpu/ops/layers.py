@@ -79,6 +79,11 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's quick-GELU: x * sigmoid(1.702 x) (timm QuickGELU)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
 def mlp_gelu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Two-layer GELU MLP: fc1 -> gelu -> fc2 (ViT MLP / ProprioProjector shape)."""
     return linear(p["fc2"], gelu(linear(p["fc1"], x)))

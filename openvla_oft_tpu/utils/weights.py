@@ -140,6 +140,9 @@ def port_timm_vit(get: Callable[[str], np.ndarray], cfg: ViTConfig,
         p["cls_token"] = g("cls_token")[0].astype(dtype)  # (1, 1, D) -> (1, D)
     if cfg.num_reg_tokens:
         p["reg_token"] = g("reg_token")[0].astype(dtype)
+    if cfg.use_pre_norm:
+        p["norm_pre"] = {"scale": g("norm_pre.weight").astype(dtype),
+                         "bias": g("norm_pre.bias").astype(dtype)}
     if cfg.use_layer_scale:
         # The reference renames timm `gamma` -> `scale_factor`
         # (modeling_prismatic.py:53-63); HF checkpoints store `scale_factor`.

@@ -150,3 +150,47 @@ def test_dinov2_reg4_parity(rng):
                     output_hidden_states=True)
     theirs = out.hidden_states[cfg.depth - 1].numpy()[:, 1 + cfg.num_reg_tokens:]
     np.testing.assert_allclose(ours, theirs, rtol=3e-5, atol=3e-5)
+
+
+def test_clip_parity(rng):
+    """CLIP ViT (pre-norm + quick-GELU + cls token) vs HF CLIPVisionModel."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    cfg = ViTConfig(width=32, depth=4, num_heads=4, mlp_dim=64, patch_size=8,
+                    image_size=32, num_cls_tokens=1, use_pre_norm=True,
+                    act="quick_gelu")
+    import jax
+    params = init_vit_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    params["cls_token"] = 0.1 * jax.random.normal(jax.random.PRNGKey(4),
+                                                  params["cls_token"].shape)
+    # CLIP's patch conv has no bias
+    params["patch_embed"]["bias"] = jnp.zeros_like(params["patch_embed"]["bias"])
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=cfg.width, intermediate_size=cfg.mlp_dim,
+        num_hidden_layers=cfg.depth, num_attention_heads=cfg.num_heads,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        hidden_act="quick_gelu", attn_implementation="eager")
+    model = CLIPVisionModel(hf_cfg).eval()
+    vm = model.vision_model
+    _set(vm.embeddings.patch_embedding.weight,
+         _unpatchify_kernel(_np32(params["patch_embed"]["kernel"]),
+                            cfg.patch_size))
+    _set(vm.embeddings.class_embedding, _np32(params["cls_token"])[0])
+    # HF pos embed covers [cls] + patches; ours likewise (no no_embed_class)
+    _set(vm.embeddings.position_embedding.weight, _np32(params["pos_embed"]))
+    _set(vm.pre_layrnorm.weight, _np32(params["norm_pre"]["scale"]))
+    _set(vm.pre_layrnorm.bias, _np32(params["norm_pre"]["bias"]))
+    for i, layer in enumerate(vm.encoder.layers):
+        _copy_block(layer, params["layers"], i, cfg.width, siglip=True)
+
+    x = rng.standard_normal((2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    ours = np.asarray(vit_featurize(params, cfg, jnp.asarray(x)))
+    import torch
+    with torch.no_grad():
+        out = model(pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                    output_hidden_states=True)
+    theirs = out.hidden_states[cfg.depth - 1].numpy()[:, 1:]  # strip cls
+    # quick-GELU sigmoid differs slightly between torch and jax transcendental
+    # implementations; tolerance reflects that
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
