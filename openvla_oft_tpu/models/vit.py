@@ -135,7 +135,12 @@ def _vit_block(
         x = x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
 
     xm = layer_norm(p["norm2"], x)
-    act = quick_gelu if cfg.act == "quick_gelu" else gelu
+    if cfg.act == "quick_gelu":
+        act = quick_gelu
+    elif cfg.act == "gelu_tanh":
+        act = lambda v: jax.nn.gelu(v, approximate=True)  # noqa: E731
+    else:
+        act = gelu
     m = linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], xm)))
     if "ls2" in p:
         m = m * p["ls2"]["scale_factor"]

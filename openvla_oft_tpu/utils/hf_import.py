@@ -152,6 +152,9 @@ def export_openvla_checkpoint(cfg: OpenVLAConfig, params: Params, out_dir: str,
             tensors[pre + "cls_token"] = np.asarray(vp["cls_token"])[None]
         if "reg_token" in vp:
             tensors[pre + "reg_token"] = np.asarray(vp["reg_token"])[None]
+        if "norm_pre" in vp:
+            tensors[pre + "norm_pre.weight"] = np.asarray(vp["norm_pre"]["scale"])
+            tensors[pre + "norm_pre.bias"] = np.asarray(vp["norm_pre"]["bias"])
         lay = vp["layers"]
         fmt_map = {
             "blocks.{i}.norm1.weight": (lay["norm1"]["scale"], False),
