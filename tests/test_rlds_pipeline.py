@@ -152,3 +152,41 @@ def test_two_image_pipeline(rlds_root, tmp_path_factory):
                                num_images=2)
     ex = next(it)
     assert ex["pixel_values"].shape[0] == 2  # primary + wrist
+
+
+def test_multi_process_file_sharding(tmp_path, monkeypatch):
+    """Each JAX process reads a disjoint file shard (multi-host feeding)."""
+    import os
+
+    import jax
+
+    from openvla_oft_tpu.data.datasets import RLDSBatchTransform
+    from openvla_oft_tpu.data.rlds import pipeline as pl
+
+    rng = np.random.default_rng(9)
+    size = TINY_DINOV2.image_size
+    ds_dir = str(tmp_path / "sharded_ds")
+    # two distinct single-episode shard FILES with distinct instructions
+    for i, task in enumerate(["alpha task", "bravo task"]):
+        eps = [{
+            "images": [_jpeg(rng, size) for _ in range(10)],
+            "actions": rng.uniform(-1, 1, (10, LIBERO.action_dim)),
+            "proprio": rng.standard_normal((10, LIBERO.proprio_dim)),
+            "language_instruction": task,
+        }]
+        paths = pl.write_episode_tfrecords(ds_dir, eps, shard_size=1)
+        os.rename(paths[0], os.path.join(ds_dir, f"episodes-{i:05d}.tfrecord"))
+
+    proc = PrismaticProcessor(CFG)
+    transform = RLDSBatchTransform(proc, ActionTokenizer(), LIBERO)
+    streams = {}
+    for idx in range(2):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda i=idx: i)
+        it, _ = pl.make_rlds_iterator(str(tmp_path), "sharded_ds", transform,
+                                      LIBERO, shuffle_buffer_size=5,
+                                      image_aug=False, train=False)
+        streams[idx] = {tuple(ex["input_ids"].tolist()) for ex in it}
+    # the two processes saw disjoint episode streams
+    assert streams[0] and streams[1]
+    assert streams[0].isdisjoint(streams[1])

@@ -27,6 +27,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+# Avoid HF tokenizers' fork-unsafe threading in dataloader workers
+# (reference finetune.py:67).
+os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+
 
 @dataclasses.dataclass
 class FinetuneConfig:
