@@ -166,6 +166,7 @@ def test_multi_process_file_sharding(tmp_path, monkeypatch):
     rng = np.random.default_rng(9)
     size = TINY_DINOV2.image_size
     ds_dir = str(tmp_path / "sharded_ds")
+    os.makedirs(ds_dir, exist_ok=True)
     # two distinct single-episode shard FILES with distinct instructions
     for i, task in enumerate(["alpha task", "bravo task"]):
         eps = [{
@@ -174,7 +175,8 @@ def test_multi_process_file_sharding(tmp_path, monkeypatch):
             "proprio": rng.standard_normal((10, LIBERO.proprio_dim)),
             "language_instruction": task,
         }]
-        paths = pl.write_episode_tfrecords(ds_dir, eps, shard_size=1)
+        staging = str(tmp_path / f"stage{i}")
+        paths = pl.write_episode_tfrecords(staging, eps, shard_size=1)
         os.rename(paths[0], os.path.join(ds_dir, f"episodes-{i:05d}.tfrecord"))
 
     proc = PrismaticProcessor(CFG)
