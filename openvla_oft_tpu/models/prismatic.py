@@ -46,7 +46,6 @@ from openvla_oft_tpu.constants import (
     NormalizationType,
     PlatformSpec,
 )
-from openvla_oft_tpu.models import llama as llama_lib
 from openvla_oft_tpu.models.llama import embed_tokens, llama_model, lm_logits
 from openvla_oft_tpu.models.projector import (
     noisy_action_projector,
