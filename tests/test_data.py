@@ -103,3 +103,36 @@ def test_batch_transform_and_collator():
     assert (b0["attention_mask"].sum(1) > 0).all()
     # labels padded with IGNORE
     assert (b0["labels"][b0["attention_mask"] == 0] == IGNORE_INDEX).all()
+
+
+def test_oxe_registry_and_kwargs():
+    from openvla_oft_tpu.data.rlds.oxe import (
+        OXE_DATASET_CONFIGS,
+        OXE_NAMED_MIXTURES,
+        ActionEncoding,
+        StateEncoding,
+        get_oxe_dataset_kwargs_and_weights,
+        make_oxe_dataset_kwargs,
+    )
+
+    # key reference entries present
+    for name in ("libero_spatial_no_noops", "aloha_scoop_x_into_bowl",
+                 "bridge_orig", "ur5e_pick_place", "fractal20220817_data"):
+        assert name in OXE_DATASET_CONFIGS, name
+
+    kw = make_oxe_dataset_kwargs("libero_spatial_no_noops", "/data")
+    # EEF_POS: 6 relative arm dims + absolute gripper (materialize.py:36-45)
+    assert kw["absolute_action_mask"] == [False] * 6 + [True]
+    assert kw["action_normalization_mask"] == [True] * 6 + [False]
+    assert kw["image_obs_keys"]["wrist"] == "wrist_image"
+    assert kw["standardize_fn"] is not None
+
+    aloha = OXE_DATASET_CONFIGS["aloha_scoop_x_into_bowl"]
+    assert aloha.action_encoding == ActionEncoding.JOINT_POS_BIMANUAL
+    assert aloha.state_encoding == StateEncoding.JOINT_BIMANUAL
+    kw2 = make_oxe_dataset_kwargs("aloha_scoop_x_into_bowl", "/data")
+    assert kw2["absolute_action_mask"] == ([False] * 6 + [True]) * 2
+
+    kwargs, weights = get_oxe_dataset_kwargs_and_weights("/data", "rtx")
+    assert len(kwargs) == len(weights) == 10
+    assert "bridge" in OXE_NAMED_MIXTURES
