@@ -136,3 +136,50 @@ def test_oxe_registry_and_kwargs():
     kwargs, weights = get_oxe_dataset_kwargs_and_weights("/data", "rtx")
     assert len(kwargs) == len(weights) == 10
     assert "bridge" in OXE_NAMED_MIXTURES
+
+
+def test_npz_dataset_tf_free(tmp_path):
+    """TF-free episode store mirrors the tf.data pipeline semantics."""
+    import io
+
+    from PIL import Image
+
+    from openvla_oft_tpu.data.npz_dataset import (
+        make_npz_iterator,
+        write_npz_episodes,
+    )
+
+    rng = np.random.default_rng(0)
+    size = TINY_DINOV2.image_size
+
+    def jpeg():
+        buf = io.BytesIO()
+        Image.fromarray((rng.random((size, size, 3)) * 255
+                         ).astype(np.uint8)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    episodes = [{
+        "images": [jpeg() for _ in range(12)],
+        "wrist_images": [jpeg() for _ in range(12)],
+        "actions": rng.uniform(-2, 2, (12, LIBERO.action_dim)),
+        "proprio": rng.standard_normal((12, LIBERO.proprio_dim)),
+        "language_instruction": f"npz task {e}",
+    } for e in range(3)]
+    ds_dir = tmp_path / "npz_root" / "libero_npz"
+    write_npz_episodes(str(ds_dir), episodes)
+
+    proc = PrismaticProcessor(CFG)
+    transform = RLDSBatchTransform(proc, ActionTokenizer(), LIBERO)
+    it, stats = make_npz_iterator(str(tmp_path / "npz_root"), "libero_npz",
+                                  transform, LIBERO, shuffle_buffer_size=10,
+                                  num_images=2)
+    assert "libero_npz" in stats
+    ex = next(it)
+    assert ex["actions"].shape == (LIBERO.num_actions_chunk, LIBERO.action_dim)
+    assert np.abs(ex["actions"]).max() <= 1.0 + 1e-6
+    assert ex["pixel_values"].shape[0] == 2
+    assert (ex["labels"] != IGNORE_INDEX).sum() == LIBERO.chunk_len + 1
+    # eval mode terminates after one pass: 3 eps x (12-7) eff frames = 15
+    it_eval, _ = make_npz_iterator(str(tmp_path / "npz_root"), "libero_npz",
+                                   transform, LIBERO, train=False)
+    assert len(list(it_eval)) == 15
