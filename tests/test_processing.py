@@ -88,3 +88,37 @@ def test_action_tokenizer_roundtrip(rng):
     ids2 = at(np.asarray([-5.0, 5.0]))
     d2 = at.decode_token_ids_to_actions(ids2)
     assert d2[0] == at.bin_centers[0] and d2[1] == at.bin_centers[-1]
+
+
+def test_device_transform_384px_and_clip_configs(rng):
+    """New backbone configs flow through the device transform with correct
+    shapes, incl. the floored 27x27 SigLIP-384 patch grid."""
+    from openvla_oft_tpu.config import (
+        CLIP_VIT_L_224,
+        OpenVLAConfig,
+        SIGLIP_SO400M_384,
+    )
+    from openvla_oft_tpu.models.vit import patchify
+    import jax.numpy as jnp
+
+    cfg384 = OpenVLAConfig(vision_backbone_id="dinosiglip-vit-so-384px")
+    assert cfg384.vision_configs[1].num_patches == 27 * 27
+    assert cfg384.num_patches_per_image == 27 * 27  # dino-384 also 27x27
+    from openvla_oft_tpu.processing.image_processing import make_device_transform
+
+    t = make_device_transform(cfg384)
+    img = (rng.random((1, 100, 100, 3)) * 255).astype(np.uint8)
+    out = np.asarray(t(img))
+    assert out.shape == (1, 2, 384, 384, 3)
+
+    # patchify floors the grid on non-divisible sizes
+    x = jnp.zeros((1, 384, 384, 3))
+    p = patchify(x, 14)
+    assert p.shape == (1, 27 * 27, 14 * 14 * 3)
+
+    cfg_clip = OpenVLAConfig(vision_backbone_id="clip-vit-l")
+    assert cfg_clip.vision_configs[0] is CLIP_VIT_L_224
+    assert not cfg_clip.use_fused_vision_backbone
+    t2 = make_device_transform(cfg_clip)
+    out2 = np.asarray(t2(img))
+    assert out2.shape == (1, 1, 224, 224, 3)
