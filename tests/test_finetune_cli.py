@@ -1,0 +1,106 @@
+"""Finetune CLI integration: resume-from-checkpoint, gradient accumulation,
+and eval-harness module importability."""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def test_finetune_resume(tmp_path):
+    """Train 2 steps -> save; resume continues from the saved step."""
+    from vla_scripts.finetune import FinetuneConfig, finetune
+
+    base = dict(vla_path="random:tiny", data_root_dir=Path("dummy"),
+                dataset_name="libero_dummy", batch_size=2, save_freq=2,
+                use_proprio=True, run_root_dir=tmp_path,
+                use_flash_attention=False, wandb_log_freq=100,
+                merge_lora_during_training=False)
+    out1 = finetune(FinetuneConfig(**base, max_steps=2))
+    assert out1["final_step"] == 2
+
+    out2 = finetune(FinetuneConfig(**base, max_steps=4, resume=True,
+                                   run_id_override=Path(out1["run_dir"]).name))
+    assert out2["final_step"] == 4
+    ckpts = sorted((Path(out1["run_dir"]) / "ckpt").iterdir())
+    assert [c.name for c in ckpts] == ["000002", "000004"]
+
+
+def test_grad_accumulation_matches_larger_batch():
+    """optax.MultiSteps: k micro-steps of batch b ~ one step of batch k*b."""
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.config import (
+        OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP)
+    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.policy import init_openvla_params
+    from openvla_oft_tpu.training.lora import init_lora
+    from openvla_oft_tpu.training.train_step import (
+        TrainConfig, create_train_state, make_optimizer, train_step)
+    from tests.test_training import _batch
+
+    C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+    C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama")
+
+    full = init_openvla_params(jax.random.PRNGKey(0), cfg, LIBERO,
+                               dtype=jnp.float32, head="l1")
+    base = {k: full[k] for k in ("llm", "vision_backbone", "projector")}
+    trainables = {"lora": init_lora(jax.random.PRNGKey(1), base, rank=4),
+                  "action_head": full["action_head"],
+                  "proprio_projector": full["proprio_projector"]}
+
+    batch = _batch(b=2)
+    half_a = {k: v[:1] for k, v in batch.items()}
+    half_b = {k: v[1:] for k, v in batch.items()}
+
+    # two micro-steps with accumulation
+    tc_acc = TrainConfig(objective="l1", learning_rate=1e-3, lora_rank=4,
+                         lora_alpha=4.0, grad_accumulation_steps=2)
+    tx = make_optimizer(tc_acc)
+    st = create_train_state(base, trainables, tc_acc, jax.random.PRNGKey(2))
+    st, _ = train_step(st, half_a, cfg, LIBERO, tc_acc, tx=tx)
+    mid = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        st.trainables, trainables)
+    assert max(jax.tree_util.tree_leaves(mid)) == 0.0  # no update yet
+    st, _ = train_step(st, half_b, cfg, LIBERO, tc_acc, tx=tx)
+
+    # one full-batch step without accumulation
+    tc_full = dataclasses.replace(tc_acc, grad_accumulation_steps=1)
+    tx2 = make_optimizer(tc_full)
+    st2 = create_train_state(base, trainables, tc_full, jax.random.PRNGKey(2))
+    st2, _ = train_step(st2, batch, cfg, LIBERO, tc_full, tx=tx2)
+
+    # MultiSteps averages micro-grads, so results agree closely (not exactly:
+    # per-micro-batch loss means weight examples slightly differently)
+    a = np.asarray(st.trainables["action_head"]["model"]["fc_out"]["kernel"])
+    b = np.asarray(st2.trainables["action_head"]["model"]["fc_out"]["kernel"])
+    assert np.abs(a - b).max() < 5e-4, np.abs(a - b).max()
+    delta = np.abs(a - np.asarray(
+        trainables["action_head"]["model"]["fc_out"]["kernel"])).max()
+    assert delta > 0  # accumulation step actually updated
+
+
+def test_eval_harnesses_importable():
+    """Robot-eval modules import without their sim/robot dependencies."""
+    import experiments.robot.aloha.run_aloha_eval as aloha
+    import experiments.robot.bridge.run_bridgev2_eval as bridge
+    import experiments.robot.libero.run_libero_eval as libero
+    import experiments.robot.robosuite.run_robosuite_eval as robosuite
+
+    assert aloha.STEP_DURATION_IN_SEC == 1.0 / 25.0
+    assert libero.TASK_MAX_STEPS["libero_10"] == 520
+    assert hasattr(bridge, "eval_bridge")
+    assert hasattr(robosuite, "eval_robosuite")
+    # gated deps raise cleanly
+    with pytest.raises(ImportError):
+        from experiments.robot.aloha.aloha_utils import make_real_env
+
+        make_real_env()
