@@ -1,0 +1,130 @@
+"""Checkpoint-parity validation harness (SURVEY.md §4's golden-value plan).
+
+Given a reference HF OpenVLA checkpoint directory (and optionally the
+reference's `sample_libero_spatial_observation.pkl` + per-module `.pt` files),
+runs stage-by-stage comparisons and reports per-module agreement:
+
+  1. tokenizer: prompt ids for the fixture instruction
+  2. pixel pipeline: JPEG->lanczos->crop->normalize output stats
+  3. ViT features (per backbone, second-to-last tap)
+  4. projector output
+  5. final action chunk from `predict_action`
+
+When a `--reference_outputs` npz is supplied (recorded on the reference
+implementation with `--record`-style dumps), stages compare numerically;
+otherwise the harness reports shapes/statistics for eyeball checks and runs
+end-to-end to validate load + predict. Works against this repo's own exports
+too, which is how it is smoke-tested without network access.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@dataclasses.dataclass
+class ParityConfig:
+    checkpoint: str = ""
+    observation: Optional[str] = None      # reference sample .pkl
+    reference_outputs: Optional[str] = None  # npz of recorded activations
+    unnorm_key: str = ""
+    num_images_in_input: int = 2
+    use_proprio: bool = True
+    center_crop: bool = True
+    atol: float = 2e-2                     # bf16 end-to-end tolerance
+
+
+def _report(name: str, ours: np.ndarray, ref: Optional[np.ndarray],
+            atol: float) -> bool:
+    stats = (f"shape={tuple(ours.shape)} mean={ours.mean():+.4f} "
+             f"std={ours.std():.4f} absmax={np.abs(ours).max():.4f}")
+    if ref is None:
+        print(f"  [stats] {name}: {stats}")
+        return True
+    err = np.abs(ours.astype(np.float32) - ref.astype(np.float32)).max()
+    ok = err <= atol
+    print(f"  [{'OK ' if ok else 'FAIL'}] {name}: max|Δ|={err:.5f} "
+          f"(atol {atol}) {stats}")
+    return ok
+
+
+def validate(cfg: ParityConfig) -> bool:
+    import jax.numpy as jnp
+
+    from examples.quickstart import load_observation
+    from openvla_oft_tpu.models.projector import vision_projector
+    from openvla_oft_tpu.models.prismatic import prepare_prompt_ids
+    from openvla_oft_tpu.models.vision_backbone import vision_backbone_forward
+    from openvla_oft_tpu.processing.image_processing import (
+        prepare_images_for_policy)
+    from openvla_oft_tpu.utils.hf_import import load_openvla_checkpoint
+    from openvla_oft_tpu.policy import OpenVLAPolicy
+    from openvla_oft_tpu.constants import detect_robot_platform
+    from experiments.robot.openvla_utils import _try_tokenizer
+
+    refs = dict(np.load(cfg.reference_outputs)) if cfg.reference_outputs else {}
+    obs = load_observation(cfg.observation)
+    task = obs.pop("task_description")
+    platform = detect_robot_platform(cfg.checkpoint + " " + (cfg.unnorm_key or ""))
+
+    print(f"[1/5] loading checkpoint {cfg.checkpoint}")
+    model_cfg, params, norm_stats = load_openvla_checkpoint(
+        cfg.checkpoint, dtype=jnp.bfloat16)
+    import dataclasses as dc
+
+    model_cfg = dc.replace(model_cfg,
+                           num_images_in_input=cfg.num_images_in_input)
+    ok = True
+
+    print("[2/5] tokenizer / prompt")
+    tokenizer = _try_tokenizer(cfg.checkpoint)
+    ids, mask = prepare_prompt_ids(tokenizer, task, bucket=64)
+    real_ids = ids[mask.astype(bool)]
+    ok &= _report("prompt_ids", real_ids.astype(np.float32),
+                  refs.get("prompt_ids"), atol=0.0)
+
+    print("[3/5] pixel pipeline")
+    images = [obs["full_image"]]
+    if cfg.num_images_in_input > 1 and "wrist_image" in obs:
+        images.append(obs["wrist_image"])
+    pixels = prepare_images_for_policy(images, model_cfg,
+                                       center_crop=cfg.center_crop)
+    ok &= _report("pixels", pixels, refs.get("pixels"), cfg.atol)
+
+    print("[4/5] vision features + projector")
+    feats = np.asarray(vision_backbone_forward(
+        params["vision_backbone"], model_cfg,
+        jnp.asarray(pixels)[None].astype(jnp.bfloat16)), np.float32)
+    ok &= _report("vit_features", feats, refs.get("vit_features"), cfg.atol)
+    proj = np.asarray(vision_projector(params["projector"],
+                                       jnp.asarray(feats)), np.float32)
+    ok &= _report("projected_patches", proj, refs.get("projected_patches"),
+                  cfg.atol)
+
+    print("[5/5] end-to-end predict_action")
+    policy = OpenVLAPolicy(cfg=model_cfg, platform=platform, params=params,
+                           norm_stats=norm_stats, head="discrete",
+                           tokenizer=tokenizer)
+    actions = policy.predict_action(
+        pixels, task,
+        proprio=np.asarray(obs["state"], np.float32) if cfg.use_proprio and
+        "state" in obs and norm_stats else None,
+        unnorm_key=cfg.unnorm_key or None)
+    ok &= _report("actions", np.asarray(actions), refs.get("actions"), cfg.atol)
+
+    print("PARITY:", "PASS" if ok else "FAIL")
+    return ok
+
+
+if __name__ == "__main__":
+    from openvla_oft_tpu.utils.cli import parse_args
+
+    raise SystemExit(0 if validate(parse_args(ParityConfig)) else 1)
