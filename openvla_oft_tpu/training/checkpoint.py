@@ -97,3 +97,58 @@ def import_projector_pt(path: str, kind: str = "proprio") -> Params:
     sd = load_module_pt(path)
     get = dict_getter(sd)
     return port_fc_mlp(get, ("fc1", "fc2"))
+
+
+# === Reference per-module `.pt` EXPORT (inverse of the importers) ===
+def _export_linear(sd: dict, name: str, p: Params) -> None:
+    import torch
+
+    sd[f"{name}.weight"] = torch.from_numpy(
+        np.ascontiguousarray(np.asarray(p["kernel"], np.float32).T))
+    if "bias" in p:
+        sd[f"{name}.bias"] = torch.from_numpy(
+            np.asarray(p["bias"], np.float32).copy())
+
+
+def _export_layer_norm(sd: dict, name: str, p: Params) -> None:
+    import torch
+
+    sd[f"{name}.weight"] = torch.from_numpy(
+        np.asarray(p["scale"], np.float32).copy())
+    sd[f"{name}.bias"] = torch.from_numpy(
+        np.asarray(p["bias"], np.float32).copy())
+
+
+def _export_mlp_resnet(sd: dict, prefix: str, p: Params) -> None:
+    _export_layer_norm(sd, prefix + "layer_norm1", p["ln_in"])
+    _export_linear(sd, prefix + "fc1", p["fc_in"])
+    for i, blk in enumerate(p["blocks"]):
+        _export_layer_norm(sd, f"{prefix}mlp_resnet_blocks.{i}.ffn.0", blk["ln"])
+        _export_linear(sd, f"{prefix}mlp_resnet_blocks.{i}.ffn.1", blk["fc"])
+    _export_layer_norm(sd, prefix + "layer_norm2", p["ln_out"])
+    _export_linear(sd, prefix + "fc2", p["fc_out"])
+
+
+def export_module_pt(module_params: Params, module_name: str, run_dir: str,
+                     step: int) -> str:
+    """Write a reference-format `{name}--{step}_checkpoint.pt`
+    (finetune.py:614-656 layout), loadable by the reference eval utils and by
+    `import_action_head_pt`/`import_projector_pt`."""
+    import torch
+
+    sd: dict = {}
+    if module_name == "action_head":
+        if "model" in module_params:              # L1 head
+            _export_mlp_resnet(sd, "model.", module_params["model"])
+        else:                                      # diffusion head
+            _export_mlp_resnet(sd, "noise_predictor.mlp_resnet.",
+                               module_params["noise_predictor"])
+    elif module_name in ("proprio_projector", "noisy_action_projector"):
+        _export_linear(sd, "fc1", module_params["fc1"])
+        _export_linear(sd, "fc2", module_params["fc2"])
+    else:
+        raise ValueError(f"unknown module {module_name!r}")
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, f"{module_name}--{step}_checkpoint.pt")
+    torch.save(sd, path)
+    return path

@@ -188,3 +188,40 @@ def test_sharded_safetensors_load(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params2["llm"]["final_norm"]["scale"]),
         np.asarray(base["llm"]["final_norm"]["scale"]), atol=1e-6)
+
+
+def test_module_pt_export_import_roundtrip(tmp_path, rng):
+    """export_module_pt output loads back through the reference-format
+    importers with identical numerics."""
+    from openvla_oft_tpu.models.action_heads import (
+        init_diffusion_head, init_l1_head, mlp_resnet)
+    from openvla_oft_tpu.models.projector import (
+        init_proprio_projector, proprio_projector)
+    from openvla_oft_tpu.training.checkpoint import export_module_pt
+
+    head = init_l1_head(jax.random.PRNGKey(0), LIBERO, llm_dim=32,
+                        hidden_dim=16)
+    path = export_module_pt(head, "action_head", str(tmp_path), 42)
+    assert path.endswith("action_head--42_checkpoint.pt")
+    back = import_action_head_pt(path, head="l1")
+    x = jnp.asarray(rng.standard_normal((2, 8, 7 * 32)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(mlp_resnet(back["model"], x)),
+                               np.asarray(mlp_resnet(head["model"], x)),
+                               rtol=1e-6, atol=1e-6)
+
+    dh = init_diffusion_head(jax.random.PRNGKey(1), LIBERO, llm_dim=32,
+                             hidden_dim=16)
+    p2 = export_module_pt(dh, "action_head", str(tmp_path / "d"), 7)
+    back2 = import_action_head_pt(p2, head="diffusion")
+    xd = jnp.asarray(rng.standard_normal((2, 8, 7 * 16)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mlp_resnet(back2["noise_predictor"], xd)),
+        np.asarray(mlp_resnet(dh["noise_predictor"], xd)), rtol=1e-6, atol=1e-6)
+
+    pp = init_proprio_projector(jax.random.PRNGKey(2), LIBERO.proprio_dim, 32)
+    p3 = export_module_pt(pp, "proprio_projector", str(tmp_path), 42)
+    back3 = import_projector_pt(p3)
+    xp = jnp.asarray(rng.standard_normal((3, LIBERO.proprio_dim)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(proprio_projector(back3, xp)),
+                               np.asarray(proprio_projector(pp, xp)),
+                               rtol=1e-6, atol=1e-6)

@@ -361,6 +361,16 @@ def finetune(cfg: FinetuneConfig) -> dict:
                     export_openvla_checkpoint(model_cfg, merged, out,
                                               norm_stats=norm_stats)
                     print(f"[finetune] merged LoRA checkpoint -> {out}")
+                # Reference-format per-module .pt files
+                # ({name}--{step}_checkpoint.pt, finetune.py:614-656) so the
+                # reference eval stack consumes our training outputs directly.
+                from openvla_oft_tpu.training.checkpoint import export_module_pt
+
+                host_tr = jax.device_get(state.trainables)
+                for mod in ("action_head", "proprio_projector",
+                            "noisy_action_projector"):
+                    if mod in host_tr:
+                        export_module_pt(host_tr[mod], mod, run_dir, step + 1)
 
         metrics.finalize()
         elapsed = time.time() - t_start
