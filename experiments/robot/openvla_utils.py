@@ -113,6 +113,21 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
             num_images_in_input=getattr(cfg, "num_images_in_input", 1),
             use_film=getattr(cfg, "use_film", False))
 
+    # FiLM: the reference fine-tune saves the whole FiLMed vision backbone as
+    # `vision_backbone--{step}_checkpoint.pt` and reloads it at eval
+    # (`_apply_film_to_vla`, openvla_utils.py:311-349).
+    if getattr(cfg, "use_film", False) and os.path.isdir(ckpt):
+        try:
+            from openvla_oft_tpu.training.checkpoint import (
+                import_film_vision_backbone_pt)
+
+            vb_path = find_checkpoint_file(ckpt, "vision_backbone")
+            backbone, film = import_film_vision_backbone_pt(vb_path, model_cfg)
+            params["vision_backbone"] = backbone
+            params["film"] = film
+        except (AssertionError, FileNotFoundError):
+            pass  # no FiLM checkpoint present; keep loaded/random backbone
+
     # Quantized inference (reference load_in_8bit/4bit via bitsandbytes,
     # openvla_utils.py:282-303 — here the TPU int8 MXU / packed-int4 paths).
     if getattr(cfg, "load_in_8bit", False):

@@ -99,6 +99,58 @@ def import_projector_pt(path: str, kind: str = "proprio") -> Params:
     return port_fc_mlp(get, ("fc1", "fc2"))
 
 
+def import_film_vision_backbone_pt(path: str, cfg) -> tuple:
+    """Port a reference `vision_backbone--{step}_checkpoint.pt` saved from
+    `FiLMedPrismaticVisionBackbone` (openvla_utils.py:311-349 loads it):
+    original timm params live under `vision_backbone.<featurizer>.blocks.{i}.
+    block.*` and the FiLM projectors under `...blocks.{i}.{scale,shift}.*`.
+
+    Returns (vision_backbone_params, film_params) in our pytree layout.
+    cfg: OpenVLAConfig.
+    """
+    import numpy as _np_mod
+
+    from openvla_oft_tpu.utils.weights import dict_getter, port_timm_vit
+
+    sd = load_module_pt(path)
+    get = dict_getter(sd)
+    names = ("featurizer", "fused_featurizer")[: len(cfg.vision_configs)]
+    backbone: Params = {}
+    film: Params = {}
+    for name, vcfg in zip(names, cfg.vision_configs):
+        prefix = f"vision_backbone.{name}."
+
+        # Remap FiLM-wrapped block names back to plain timm names.
+        def film_get(key: str, _prefix=prefix):
+            if key.startswith(_prefix + "blocks."):
+                rest = key[len(_prefix + "blocks."):]
+                idx, sub = rest.split(".", 1)
+                return get(f"{_prefix}blocks.{idx}.block.{sub}")
+            return get(key)
+
+        backbone[name] = port_timm_vit(film_get, vcfg, prefix=prefix)
+        L = vcfg.depth
+        film[name] = {
+            "scale": {
+                "kernel": _np_mod.stack(
+                    [_np_mod.asarray(get(f"{prefix}blocks.{i}.scale.weight")).T
+                     for i in range(L)]).astype(_np_mod.float32),
+                "bias": _np_mod.stack(
+                    [_np_mod.asarray(get(f"{prefix}blocks.{i}.scale.bias"))
+                     for i in range(L)]).astype(_np_mod.float32),
+            },
+            "shift": {
+                "kernel": _np_mod.stack(
+                    [_np_mod.asarray(get(f"{prefix}blocks.{i}.shift.weight")).T
+                     for i in range(L)]).astype(_np_mod.float32),
+                "bias": _np_mod.stack(
+                    [_np_mod.asarray(get(f"{prefix}blocks.{i}.shift.bias"))
+                     for i in range(L)]).astype(_np_mod.float32),
+            },
+        }
+    return backbone, film
+
+
 # === Reference per-module `.pt` EXPORT (inverse of the importers) ===
 def _export_linear(sd: dict, name: str, p: Params) -> None:
     import torch
@@ -127,6 +179,72 @@ def _export_mlp_resnet(sd: dict, prefix: str, p: Params) -> None:
         _export_linear(sd, f"{prefix}mlp_resnet_blocks.{i}.ffn.1", blk["fc"])
     _export_layer_norm(sd, prefix + "layer_norm2", p["ln_out"])
     _export_linear(sd, prefix + "fc2", p["fc_out"])
+
+
+def export_film_vision_backbone_pt(backbone: Params, film: Params, cfg,
+                                   run_dir: str, step: int) -> str:
+    """Inverse of `import_film_vision_backbone_pt`: write the FiLMed vision
+    backbone as a reference-format `vision_backbone--{step}_checkpoint.pt`."""
+    import torch
+
+    sd: dict = {}
+    names = ("featurizer", "fused_featurizer")[: len(cfg.vision_configs)]
+    for name, vcfg in zip(names, cfg.vision_configs):
+        vp = backbone[name]
+        pre = f"vision_backbone.{name}."
+        tensors: dict = {}
+        k = np.asarray(vp["patch_embed"]["kernel"])
+        d = k.shape[1]
+        conv = k.reshape(vcfg.patch_size, vcfg.patch_size, 3, d).transpose(3, 2, 0, 1)
+        tensors[pre + "patch_embed.proj.weight"] = conv
+        tensors[pre + "patch_embed.proj.bias"] = np.asarray(vp["patch_embed"]["bias"])
+        tensors[pre + "pos_embed"] = np.asarray(vp["pos_embed"])[None]
+        if "cls_token" in vp:
+            tensors[pre + "cls_token"] = np.asarray(vp["cls_token"])[None]
+        if "reg_token" in vp:
+            tensors[pre + "reg_token"] = np.asarray(vp["reg_token"])[None]
+        lay = vp["layers"]
+        fmt_map = {
+            "blocks.{i}.block.norm1.weight": (lay["norm1"]["scale"], False),
+            "blocks.{i}.block.norm1.bias": (lay["norm1"]["bias"], False),
+            "blocks.{i}.block.norm2.weight": (lay["norm2"]["scale"], False),
+            "blocks.{i}.block.norm2.bias": (lay["norm2"]["bias"], False),
+            "blocks.{i}.block.attn.qkv.weight": (lay["attn"]["qkv"]["kernel"], True),
+            "blocks.{i}.block.attn.qkv.bias": (lay["attn"]["qkv"]["bias"], False),
+            "blocks.{i}.block.attn.proj.weight": (lay["attn"]["proj"]["kernel"], True),
+            "blocks.{i}.block.attn.proj.bias": (lay["attn"]["proj"]["bias"], False),
+            "blocks.{i}.block.mlp.fc1.weight": (lay["mlp"]["fc1"]["kernel"], True),
+            "blocks.{i}.block.mlp.fc1.bias": (lay["mlp"]["fc1"]["bias"], False),
+            "blocks.{i}.block.mlp.fc2.weight": (lay["mlp"]["fc2"]["kernel"], True),
+            "blocks.{i}.block.mlp.fc2.bias": (lay["mlp"]["fc2"]["bias"], False),
+        }
+        if "ls1" in lay:
+            fmt_map["blocks.{i}.block.ls1.scale_factor"] = (
+                lay["ls1"]["scale_factor"], False)
+            fmt_map["blocks.{i}.block.ls2.scale_factor"] = (
+                lay["ls2"]["scale_factor"], False)
+        for fmt, (arr, transpose) in fmt_map.items():
+            arr = np.asarray(arr)
+            for i in range(vcfg.depth):
+                w = arr[i]
+                tensors[pre + fmt.format(i=i)] = w.T if transpose else w
+        fv = film[name]
+        for i in range(vcfg.depth):
+            tensors[f"{pre}blocks.{i}.scale.weight"] = np.asarray(
+                fv["scale"]["kernel"][i]).T
+            tensors[f"{pre}blocks.{i}.scale.bias"] = np.asarray(
+                fv["scale"]["bias"][i])
+            tensors[f"{pre}blocks.{i}.shift.weight"] = np.asarray(
+                fv["shift"]["kernel"][i]).T
+            tensors[f"{pre}blocks.{i}.shift.bias"] = np.asarray(
+                fv["shift"]["bias"][i])
+        for key, val in tensors.items():
+            sd[key] = torch.from_numpy(
+                np.ascontiguousarray(np.asarray(val, np.float32)))
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, f"vision_backbone--{step}_checkpoint.pt")
+    torch.save(sd, path)
+    return path
 
 
 def export_module_pt(module_params: Params, module_name: str, run_dir: str,

@@ -225,3 +225,32 @@ def test_module_pt_export_import_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(proprio_projector(back3, xp)),
                                np.asarray(proprio_projector(pp, xp)),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_film_vision_backbone_pt_roundtrip(tmp_path, rng):
+    """FiLMed vision backbone .pt export/import round trip with identical
+    FiLM-conditioned features."""
+    from openvla_oft_tpu.models.vision_backbone import (
+        init_film, init_vision_backbone, vision_backbone_forward)
+    from openvla_oft_tpu.training.checkpoint import (
+        export_film_vision_backbone_pt, import_film_vision_backbone_pt)
+
+    backbone = init_vision_backbone(jax.random.PRNGKey(0), CFG,
+                                    dtype=jnp.float32)
+    film = init_film(jax.random.PRNGKey(1), CFG)
+    film = jax.tree_util.tree_map(lambda a: a + 0.01, film)  # nonzero FiLM
+
+    path = export_film_vision_backbone_pt(backbone, film, CFG, str(tmp_path),
+                                          150000)
+    assert path.endswith("vision_backbone--150000_checkpoint.pt")
+    backbone2, film2 = import_film_vision_backbone_pt(path, CFG)
+
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((1, 1, 2, h, h, 3)), jnp.float32)
+    le = jnp.asarray(rng.standard_normal((1, CFG.llm_dim)), jnp.float32)
+    a = vision_backbone_forward(backbone, CFG, pixels, film_params=film,
+                                language_embedding=le)
+    b = vision_backbone_forward(backbone2, CFG, pixels, film_params=film2,
+                                language_embedding=le)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
