@@ -371,6 +371,13 @@ def finetune(cfg: FinetuneConfig) -> dict:
                             "noisy_action_projector"):
                     if mod in host_tr:
                         export_module_pt(host_tr[mod], mod, run_dir, step + 1)
+                if cfg.use_film and "film" in host_tr:
+                    from openvla_oft_tpu.training.checkpoint import (
+                        export_film_vision_backbone_pt)
+
+                    export_film_vision_backbone_pt(
+                        jax.device_get(base["vision_backbone"]),
+                        host_tr["film"], model_cfg, run_dir, step + 1)
 
         metrics.finalize()
         elapsed = time.time() - t_start
