@@ -254,3 +254,30 @@ def test_film_vision_backbone_pt_roundtrip(tmp_path, rng):
                                 language_embedding=le)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_convert_weights_cli_roundtrip(tmp_path):
+    """HF -> Orbax -> HF conversion preserves weights and statistics."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parents[1]))
+    from vla_scripts.convert_weights import ConvertConfig, convert
+
+    params = init_openvla_params(jax.random.PRNGKey(5), CFG, LIBERO,
+                                 dtype=jnp.float32, head=None)
+    base = {k: params[k] for k in ("llm", "vision_backbone", "projector")}
+    stats = {"d": {"action": {"min": [0.0] * 7}}}
+    src = export_openvla_checkpoint(CFG, base, str(tmp_path / "hf_in"),
+                                    norm_stats=stats)
+
+    orbax_dir = str(tmp_path / "orbax")
+    convert(ConvertConfig(direction="import", source=src, output=orbax_dir))
+    # meta carries tiny ids, which are registered in this process
+    out = convert(ConvertConfig(direction="export", source=orbax_dir,
+                                output=str(tmp_path / "hf_out")))
+    cfg2, params2, stats2 = load_openvla_checkpoint(out)
+    assert stats2 == stats
+    np.testing.assert_allclose(
+        np.asarray(params2["llm"]["layers"]["attn"]["wq"]["kernel"]),
+        np.asarray(base["llm"]["layers"]["attn"]["wq"]["kernel"]), atol=1e-6)

@@ -36,16 +36,17 @@ def convert(cfg: ConvertConfig) -> str:
     )
 
     if cfg.direction == "import":
+        import json, os
+
         model_cfg, params, norm_stats = load_openvla_checkpoint(cfg.source)
-        path = save_checkpoint(cfg.output, cfg.step, {
-            "params": params,
-            "meta": {"vision_backbone_id": model_cfg.vision_backbone_id,
-                     "llm_backbone_id": model_cfg.llm_backbone_id},
-        })
+        path = save_checkpoint(cfg.output, cfg.step, {"params": params})
+        # Orbax trees hold arrays only; architecture ids go in a JSON sidecar.
+        os.makedirs(cfg.output, exist_ok=True)
+        with open(os.path.join(cfg.output, "meta.json"), "w") as f:
+            json.dump({"vision_backbone_id": model_cfg.vision_backbone_id,
+                       "llm_backbone_id": model_cfg.llm_backbone_id}, f)
         print(f"[convert] imported HF checkpoint -> {path}")
         if norm_stats:
-            import json, os
-
             with open(os.path.join(cfg.output, "dataset_statistics.json"),
                       "w") as f:
                 json.dump(norm_stats, f)
@@ -56,7 +57,11 @@ def convert(cfg: ConvertConfig) -> str:
         from openvla_oft_tpu.config import OpenVLAConfig
 
         restored = restore_checkpoint(cfg.source, cfg.step)
-        meta = restored.get("meta", {})
+        meta = {}
+        meta_path = os.path.join(cfg.source, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
         model_cfg = OpenVLAConfig(
             vision_backbone_id=str(meta.get("vision_backbone_id",
                                             "dinosiglip-vit-so-224px")),
