@@ -164,3 +164,46 @@ def test_add_noise_formula():
     for b, tt in enumerate([0, 50]):
         expect = np.sqrt(ac[tt]) * 1 + np.sqrt(1 - ac[tt]) * 2
         np.testing.assert_allclose(out[b], expect, rtol=1e-6)
+
+
+def test_aloha_platform_layout_equivalence(params):
+    """ALOHA geometry (3 images, 25x14 chunk) through both layouts."""
+    from openvla_oft_tpu.constants import ALOHA
+
+    rng = np.random.default_rng(17)
+    chunk = ALOHA.chunk_len
+    prompt = [1] + list(rng.integers(10, 1000, 6)) + [EMPTY_TOKEN_ID]
+    action_ids = list(rng.integers(ACTION_TOKEN_BEGIN_IDX + 1,
+                                   ACTION_TOKEN_BEGIN_IDX + 257, chunk))
+    full_ids = np.array(prompt + action_ids + [STOP_INDEX])
+    labels = np.array([IGNORE_INDEX] * len(prompt) + action_ids + [STOP_INDEX])
+
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((1, 3, 2, h, h, 3)), jnp.float32)
+    proprio = jnp.asarray(rng.random((1, ALOHA.proprio_dim)), jnp.float32)
+
+    # params fixture has a LIBERO proprio projector (8-dim); swap in 14-dim
+    from openvla_oft_tpu.models.projector import init_proprio_projector
+
+    p = dict(params)
+    p["proprio_projector"] = init_proprio_projector(
+        jax.random.PRNGKey(9), ALOHA.proprio_dim, CFG.llm_dim)
+
+    cfg3 = __import__("dataclasses").replace(CFG, num_images_in_input=3)
+    train_out = prismatic_forward(
+        p, cfg3, ALOHA, input_ids=jnp.asarray(full_ids[None]),
+        attention_mask=jnp.ones((1, len(full_ids)), jnp.int32),
+        pixels=pixels, labels=jnp.asarray(labels[None]), proprio=proprio,
+        compute_logits=False)
+    assert train_out.actions_hidden.shape == (1, chunk, CFG.llm_dim)
+
+    bucket = len(prompt) + 4
+    pad = bucket - len(prompt)
+    ids = np.concatenate([np.zeros(pad, np.int64), prompt])
+    mask = np.concatenate([np.zeros(pad, np.int64), np.ones(len(prompt))])
+    pred = predict_action_hidden(
+        p, cfg3, ALOHA, input_ids=jnp.asarray(ids[None]),
+        prompt_mask=jnp.asarray(mask[None]), pixels=pixels, proprio=proprio)
+    np.testing.assert_allclose(np.asarray(pred.actions_hidden),
+                               np.asarray(train_out.actions_hidden),
+                               rtol=2e-4, atol=2e-4)
