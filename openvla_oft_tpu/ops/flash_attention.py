@@ -34,16 +34,18 @@ _NEG_INF = -1e30
 
 def _kernel(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *, scale, bq,
             causal):
-    bi = pl.program_id(0)
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)            # (BQ, D)
-    k = k_ref[0, 0].astype(jnp.float32)            # (T, D)
-    v = v_ref[0, 0].astype(jnp.float32)            # (T, D)
+    # Keep q/k/v in their storage dtype (bf16): the MXU runs bf16 inputs with
+    # fp32 accumulation at full rate, while fp32 x fp32 matmuls run ~4x
+    # slower — casting inputs up was the kernel's original bottleneck.
+    q = q_ref[0, 0]                                # (BQ, D)
+    k = k_ref[0, 0]                                # (T, D)
+    v = v_ref[0, 0]                                # (T, D)
     t = k.shape[0]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (BQ, T)
+        preferred_element_type=jnp.float32) * scale  # (BQ, T) fp32
 
     rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
@@ -59,10 +61,10 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *, scale, bq,
 
     scores = jnp.where(allow, scores, _NEG_INF)
     m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
+    p = jnp.exp(scores - m)                        # fp32 softmax numerators
     p = jnp.where(allow, p, 0.0)
     l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o = o / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = o.astype(o_ref.dtype)
@@ -168,9 +170,9 @@ def _kernel_allheads(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *,
     allow = base_allow | (q_bid & bid & valid)
 
     for hi in range(num_heads):
-        q = q_ref[0, :, hi, :].astype(jnp.float32)          # (BQ, D)
-        k = k_ref[0, :, hi // rep, :].astype(jnp.float32)   # (T, D)
-        v = v_ref[0, :, hi // rep, :].astype(jnp.float32)
+        q = q_ref[0, :, hi, :]                              # (BQ, D) bf16
+        k = k_ref[0, :, hi // rep, :]                       # (T, D)
+        v = v_ref[0, :, hi // rep, :]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -179,7 +181,7 @@ def _kernel_allheads(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *,
         p = jnp.exp(scores - m)
         p = jnp.where(allow, p, 0.0)
         l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o_ref[0, :, hi, :] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
