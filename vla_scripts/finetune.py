@@ -317,9 +317,13 @@ def finetune(cfg: FinetuneConfig) -> dict:
 
         from openvla_oft_tpu.data.prefetch import DevicePrefetcher
 
+        from openvla_oft_tpu.training.preemption import PreemptionGuard
+
         start = int(state.step)
         t_start = time.time()
         prefetched = DevicePrefetcher(batches, sharding=batch_sharding)
+        guard = PreemptionGuard()
+        guard.__enter__()
         for i, batch in enumerate(prefetched):
             step = start + i
             if step >= cfg.max_steps:
@@ -333,7 +337,12 @@ def finetune(cfg: FinetuneConfig) -> dict:
                         f"{k}={v:.4f}" for k, v in sorted(smoothed.items())))
             if cfg.use_val_set and (step + 1) % cfg.val_freq == 0:
                 run_validation(state, step)
-            if (step + 1) % cfg.save_freq == 0 or step + 1 == cfg.max_steps:
+            # Preemption (SIGTERM from the TPU VM scheduler) latches a flag;
+            # checkpoint at the step boundary so resume loses zero steps
+            # (SURVEY.md §5.3 — the reference has no preemption handling).
+            preempted = guard.should_stop
+            if ((step + 1) % cfg.save_freq == 0 or step + 1 == cfg.max_steps
+                    or preempted):
                 save_step = 0 if cfg.save_latest_checkpoint_only else step + 1
                 save_checkpoint(ckpt_dir, save_step,
                                 {"trainables": state.trainables,
@@ -378,7 +387,13 @@ def finetune(cfg: FinetuneConfig) -> dict:
                     export_film_vision_backbone_pt(
                         jax.device_get(base["vision_backbone"]),
                         host_tr["film"], model_cfg, run_dir, step + 1)
+            if preempted:
+                print(f"[finetune] preempted (signal "
+                      f"{guard.received_signal}); checkpoint saved at step "
+                      f"{step + 1} — resume with --resume True")
+                break
 
+        guard.__exit__()
         metrics.finalize()
         elapsed = time.time() - t_start
         print(f"[finetune] done: {int(state.step) - start} steps in "
