@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 from openvla_oft_tpu.constants import (
     LLAMA2_VOCAB_SIZE,
@@ -135,6 +135,45 @@ MISTRAL_7B = LlamaConfig(vocab_size=32000 + PAD_TO_MULTIPLE_OF,
                          max_position_embeddings=32768)
 
 
+@dataclasses.dataclass(frozen=True)
+class PhiConfig:
+    """Phi-2 decoder config (reference `llm/phi.py:19-25` "phi-2-3b").
+
+    Architecture differs from Llama: parallel attention+MLP residual blocks,
+    LayerNorm (with bias) instead of RMSNorm, biased q/k/v/dense + fc1/fc2
+    projections, partial rotary embeddings (rotary over the first
+    `int(partial_rotary_factor * head_dim)` dims of each head), gelu_new MLP
+    activation, and a biased lm_head. Implemented in `models/phi.py`.
+    """
+
+    vocab_size: int = 51200
+    hidden_size: int = 2560
+    intermediate_size: int = 10240
+    num_layers: int = 32
+    num_heads: int = 32
+    partial_rotary_factor: float = 0.4
+    rope_theta: float = 10000.0
+    layer_norm_eps: float = 1e-5
+    max_position_embeddings: int = 2048
+    pad_token_id: int = 50256  # reference adds <|pad|> and resizes to /64
+
+    # Phi has no GQA; mirror LlamaConfig's surface so shared code duck-types.
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.partial_rotary_factor * self.head_dim)
+
+
+PHI_2 = PhiConfig()
+
+
 # Reference `VISION_BACKBONE_TO_TIMM_ID` (`configuration_prismatic.py:26-38`)
 # lists "dinosiglip-vit-so-224px" as [dinov2, siglip]; the reference builds
 # `featurizer` from timm_model_ids[0] (`modeling_prismatic.py:100-112`), so the
@@ -153,7 +192,7 @@ _VISION_REGISTRY: Dict[str, Tuple[ViTConfig, ...]] = {
     "in1k-vit-l": (IN1K_VIT_L_224,),
 }
 
-_LLM_REGISTRY: Dict[str, LlamaConfig] = {
+_LLM_REGISTRY: Dict[str, Any] = {  # LlamaConfig | PhiConfig
     "llama2-7b-pure": LLAMA2_7B,
     "llama2-7b-chat": LLAMA2_7B,
     "llama2-13b-pure": LLAMA2_13B,
@@ -162,6 +201,7 @@ _LLM_REGISTRY: Dict[str, LlamaConfig] = {
     "vicuna-v15-13b": LLAMA2_13B,
     "mistral-v0.1-7b-pure": MISTRAL_7B,
     "mistral-v0.1-7b-instruct": MISTRAL_7B,
+    "phi-2-3b": PHI_2,
 }
 
 

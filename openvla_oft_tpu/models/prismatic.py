@@ -46,7 +46,29 @@ from openvla_oft_tpu.constants import (
     NormalizationType,
     PlatformSpec,
 )
-from openvla_oft_tpu.models.llama import embed_tokens, llama_model, lm_logits
+from openvla_oft_tpu.models.llama import embed_tokens, llama_model
+from openvla_oft_tpu.models.llama import lm_logits as _llama_lm_logits
+
+
+def _run_llm(params, llm_cfg, inputs_embeds, **kw):
+    """Dispatch on the LLM config family (reference: separate backbone classes,
+    `llm/{llama2,mistral,phi}.py`). Llama/Mistral share `llama_model`; Phi-2
+    (parallel blocks, partial RoPE) runs `models/phi.py::phi_model`."""
+    from openvla_oft_tpu.config import PhiConfig
+
+    if isinstance(llm_cfg, PhiConfig):
+        from openvla_oft_tpu.models.phi import phi_model
+
+        return phi_model(params, llm_cfg, inputs_embeds, **kw)
+    return llama_model(params, llm_cfg, inputs_embeds, **kw)
+
+
+def lm_logits(params, hidden):
+    if "bias" in params["lm_head"]:  # Phi-2 carries a biased lm_head
+        from openvla_oft_tpu.models.phi import lm_logits as phi_lm_logits
+
+        return phi_lm_logits(params, hidden)
+    return _llama_lm_logits(params, hidden)
 from openvla_oft_tpu.models.projector import (
     noisy_action_projector,
     proprio_projector,
@@ -171,9 +193,9 @@ def prismatic_forward(
     ignore = jnp.full((b, n_patch), IGNORE_INDEX, labels.dtype)
     mm_labels = jnp.concatenate([labels[:, :1], ignore, labels[:, 1:]], axis=1)
 
-    hidden = llama_model(params["llm"], cfg.llm, mm_embeds,
-                         padding_mask=mm_pad, bidir_mask=mm_bidir,
-                         use_flash=use_flash, remat=remat)
+    hidden = _run_llm(params["llm"], cfg.llm, mm_embeds,
+                      padding_mask=mm_pad, bidir_mask=mm_bidir,
+                      use_flash=use_flash, remat=remat)
 
     logits = lm_logits(params["llm"], hidden) if compute_logits else None
 
@@ -294,9 +316,9 @@ def predict_action_hidden(
 
         use_flash = s >= FLASH_SEQ_THRESHOLD
     bidir = jnp.zeros((b, s), bool).at[:, window[0]:window[0] + chunk].set(True)
-    hidden = llama_model(params["llm"], cfg.llm, embeds, positions=positions,
-                         padding_mask=key_valid, bidir_mask=bidir,
-                         use_flash=use_flash, bidir_block=window)
+    hidden = _run_llm(params["llm"], cfg.llm, embeds, positions=positions,
+                      padding_mask=key_valid, bidir_mask=bidir,
+                      use_flash=use_flash, bidir_block=window)
 
     # Predictor positions: last prompt token (29871) through the second-to-last
     # action slot — a static tail slice.

@@ -84,6 +84,11 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """Tanh-approximated GELU (HF `gelu_new`; Phi-2 MLP activation)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
 def mlp_gelu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Two-layer GELU MLP: fc1 -> gelu -> fc2 (ViT MLP / ProprioProjector shape)."""
     return linear(p["fc2"], gelu(linear(p["fc1"], x)))

@@ -28,6 +28,17 @@ from openvla_oft_tpu.models.action_heads import (
     diffusion_scheduler,
 )
 from openvla_oft_tpu.models.llama import init_llama_params
+
+
+def _init_llm_params(key, llm_cfg, dtype):
+    """Init by LLM family (Phi-2 has a different block structure)."""
+    from openvla_oft_tpu.config import PhiConfig
+
+    if isinstance(llm_cfg, PhiConfig):
+        from openvla_oft_tpu.models.phi import init_phi_params
+
+        return init_phi_params(key, llm_cfg, dtype=dtype)
+    return init_llama_params(key, llm_cfg, dtype=dtype)
 from openvla_oft_tpu.models.prismatic import (
     detokenize_discrete_actions,
     predict_action_hidden,
@@ -57,7 +68,7 @@ def init_openvla_params(
     """Random-init full parameter tree (weight porting overwrites leaves)."""
     ks = jax.random.split(key, 8)
     params: Params = {
-        "llm": init_llama_params(ks[0], cfg.llm, dtype=dtype),
+        "llm": _init_llm_params(ks[0], cfg.llm, dtype=dtype),
         "vision_backbone": init_vision_backbone(ks[1], cfg, dtype=dtype),
         "projector": init_vision_projector(ks[2], cfg.vision_dim, cfg.llm_dim,
                                            fused=cfg.use_fused_vision_backbone,

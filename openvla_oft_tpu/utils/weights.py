@@ -87,6 +87,50 @@ def port_hf_llama(get: Callable[[str], np.ndarray], cfg: LlamaConfig,
     }
 
 
+# === Phi-2 (HF `PhiForCausalLM` names -> stacked layer pytree) ===
+def port_hf_phi(get: Callable[[str], np.ndarray], cfg,
+                prefix: str = "", dtype=np.float32) -> Params:
+    """Port HF Phi-2 weights (reference backbone `llm/phi.py:19-25`).
+
+    Same conventions as `port_hf_llama`: HF Linear (out, in) -> ours (in, out),
+    per-layer tensors stacked on a new leading axis. Phi additionally carries
+    biases on every projection, LayerNorm biases, and a biased lm_head.
+    """
+    L = cfg.num_layers
+
+    def stack(fmt: str, transpose: bool = True) -> np.ndarray:
+        ws = [_np(get(prefix + fmt.format(i=i))) for i in range(L)]
+        ws = [w.T if transpose else w for w in ws]
+        return np.stack(ws).astype(dtype)
+
+    def wb(name: str) -> Params:
+        return {"kernel": stack(f"model.layers.{{i}}.{name}.weight"),
+                "bias": stack(f"model.layers.{{i}}.{name}.bias", transpose=False)}
+
+    layers = {
+        "attn": {
+            "wq": wb("self_attn.q_proj"),
+            "wk": wb("self_attn.k_proj"),
+            "wv": wb("self_attn.v_proj"),
+            "wo": wb("self_attn.dense"),
+        },
+        "mlp": {"fc1": wb("mlp.fc1"), "fc2": wb("mlp.fc2")},
+        "ln": {"scale": stack("model.layers.{i}.input_layernorm.weight",
+                              transpose=False),
+               "bias": stack("model.layers.{i}.input_layernorm.bias",
+                             transpose=False)},
+    }
+    return {
+        "embed": {"embedding": _np(get(prefix + "model.embed_tokens.weight")).astype(dtype)},
+        "layers": layers,
+        "final_norm": {
+            "scale": _np(get(prefix + "model.final_layernorm.weight")).astype(dtype),
+            "bias": _np(get(prefix + "model.final_layernorm.bias")).astype(dtype)},
+        "lm_head": {"kernel": _np(get(prefix + "lm_head.weight")).T.astype(dtype),
+                    "bias": _np(get(prefix + "lm_head.bias")).astype(dtype)},
+    }
+
+
 # === timm ViT -> stacked pytree ===
 def port_timm_patch_embed(conv_weight: np.ndarray) -> np.ndarray:
     """timm conv (D, 3, p, p) -> patchify matmul kernel (p*p*3, D).
