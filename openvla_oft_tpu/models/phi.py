@@ -144,3 +144,90 @@ def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     y = jnp.dot(hidden, params["lm_head"]["kernel"],
                 preferred_element_type=jnp.float32)
     return y + params["lm_head"]["bias"].astype(jnp.float32)
+
+
+# === KV-cache autoregressive path (legacy `generate` parity for Phi VLMs) ===
+def phi_prefill(
+    params: Params,
+    cfg: PhiConfig,
+    inputs_embeds: jnp.ndarray,
+    cache,  # models.llama.KVCache (shape-compatible: kv heads == heads)
+    positions: Optional[jnp.ndarray] = None,
+    key_valid: Optional[jnp.ndarray] = None,
+):
+    """Causal prefill filling a `llama.KVCache`; returns (hidden, cache)."""
+    from openvla_oft_tpu.models.llama import KVCache
+
+    b, s, _ = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    sin, cos = rope_sin_cos(positions, cfg.rotary_dim, cfg.rope_theta)
+    h, hd, rd = cfg.num_heads, cfg.head_dim, cfg.rotary_dim
+    if key_valid is None:
+        key_valid = jnp.ones((b, s), bool)
+
+    def body(carry, p):
+        x = carry
+        xa = layer_norm(p["ln"], x, cfg.layer_norm_eps)
+        q = linear(p["attn"]["wq"], xa).reshape(b, s, h, hd)
+        k = linear(p["attn"]["wk"], xa).reshape(b, s, h, hd)
+        v = linear(p["attn"]["wv"], xa).reshape(b, s, h, hd)
+        q = _apply_partial_rope(q, sin, cos, rd)
+        k = _apply_partial_rope(k, sin, cos, rd)
+        o = attention(q, k, v, is_causal=True, key_valid=key_valid)
+        attn_out = linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
+        mlp_out = linear(p["mlp"]["fc2"], gelu_tanh(linear(p["mlp"]["fc1"], xa)))
+        return x + attn_out + mlp_out, (k.astype(cache.k.dtype),
+                                        v.astype(cache.v.dtype))
+
+    x, (ks, vs) = jax.lax.scan(body, inputs_embeds, params["layers"])
+    new_cache = KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, ks, (0, 0, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(cache.v, vs, (0, 0, 0, 0, 0)),
+        index=jnp.asarray(s, jnp.int32),
+        valid=jax.lax.dynamic_update_slice(cache.valid, key_valid, (0, 0)),
+    )
+    return layer_norm(params["final_norm"], x, cfg.layer_norm_eps), new_cache
+
+
+def phi_decode_step(
+    params: Params,
+    cfg: PhiConfig,
+    token_embed: jnp.ndarray,  # (B, 1, D)
+    cache,
+    positions: Optional[jnp.ndarray] = None,
+):
+    """One cached decode step; returns (post-norm hidden (B, 1, D), cache)."""
+    from openvla_oft_tpu.models.llama import KVCache
+
+    b = token_embed.shape[0]
+    h, hd, rd = cfg.num_heads, cfg.head_dim, cfg.rotary_dim
+    t_max = cache.k.shape[2]
+    if positions is None:
+        positions = jnp.broadcast_to(cache.index, (b, 1)).astype(jnp.int32)
+    sin, cos = rope_sin_cos(positions, cfg.rotary_dim, cfg.rope_theta)
+    new_valid = cache.valid | (jnp.arange(t_max)[None, :] == cache.index)
+    mask = new_valid[:, None, None, :]
+
+    def body(carry, inputs):
+        x = carry
+        p, ck, cv = inputs
+        xa = layer_norm(p["ln"], x, cfg.layer_norm_eps)
+        q = linear(p["attn"]["wq"], xa).reshape(b, 1, h, hd)
+        k = linear(p["attn"]["wk"], xa).reshape(b, 1, h, hd)
+        v = linear(p["attn"]["wv"], xa).reshape(b, 1, h, hd)
+        q = _apply_partial_rope(q, sin, cos, rd)
+        k = _apply_partial_rope(k, sin, cos, rd)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                          (0, cache.index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (0, cache.index, 0, 0))
+        o = attention(q, ck, cv, mask=mask)
+        attn_out = linear(p["attn"]["wo"], o.reshape(b, 1, h * hd))
+        mlp_out = linear(p["mlp"]["fc2"], gelu_tanh(linear(p["mlp"]["fc1"], xa)))
+        return x + attn_out + mlp_out, (ck, cv)
+
+    x, (ks, vs) = jax.lax.scan(body, token_embed,
+                               (params["layers"], cache.k, cache.v))
+    new_cache = KVCache(k=ks, v=vs, index=cache.index + 1, valid=new_valid)
+    return layer_norm(params["final_norm"], x, cfg.layer_norm_eps), new_cache

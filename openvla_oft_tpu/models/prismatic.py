@@ -48,6 +48,15 @@ from openvla_oft_tpu.constants import (
 )
 from openvla_oft_tpu.models.llama import embed_tokens, llama_model
 from openvla_oft_tpu.models.llama import lm_logits as _llama_lm_logits
+from openvla_oft_tpu.models.projector import (
+    noisy_action_projector,
+    proprio_projector,
+    vision_projector,
+)
+from openvla_oft_tpu.models.vision_backbone import vision_backbone_forward
+from openvla_oft_tpu.ops.masks import get_all_actions_mask
+
+Params = Dict[str, Any]
 
 
 def _run_llm(params, llm_cfg, inputs_embeds, **kw):
@@ -69,15 +78,6 @@ def lm_logits(params, hidden):
 
         return phi_lm_logits(params, hidden)
     return _llama_lm_logits(params, hidden)
-from openvla_oft_tpu.models.projector import (
-    noisy_action_projector,
-    proprio_projector,
-    vision_projector,
-)
-from openvla_oft_tpu.models.vision_backbone import vision_backbone_forward
-from openvla_oft_tpu.ops.masks import get_all_actions_mask
-
-Params = Dict[str, Any]
 
 
 # === Shared pieces ===
@@ -349,11 +349,19 @@ def predict_action_autoregressive(
     Same left-padded physical-order layout as `predict_action_hidden` minus
     the action/STOP slots; one prefill + a `lax.scan` over decode steps.
     """
+    from openvla_oft_tpu.config import PhiConfig
     from openvla_oft_tpu.models.llama import (
         KVCache,
         llama_decode_step,
         llama_prefill,
     )
+
+    if isinstance(cfg.llm, PhiConfig):
+        from openvla_oft_tpu.models.phi import phi_decode_step, phi_prefill
+
+        prefill_fn, decode_fn = phi_prefill, phi_decode_step
+    else:
+        prefill_fn, decode_fn = llama_prefill, llama_decode_step
 
     b, p_len = input_ids.shape
     dtype = params["llm"]["embed"]["embedding"].dtype
@@ -379,8 +387,8 @@ def predict_action_autoregressive(
 
     t_max = s + num_new_tokens
     cache = KVCache.create(cfg.llm, b, t_max, dtype=dtype)
-    hidden, cache = llama_prefill(params["llm"], cfg.llm, embeds, cache,
-                                  positions=positions, key_valid=key_valid)
+    hidden, cache = prefill_fn(params["llm"], cfg.llm, embeds, cache,
+                               positions=positions, key_valid=key_valid)
     last_hidden = hidden[:, -1:]
 
     def step(carry, _):
@@ -389,8 +397,8 @@ def predict_action_autoregressive(
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
         emb = embed_tokens(params["llm"], token[:, None]).astype(dtype)
         pos = (cache.index - pad_counts)[:, None].astype(jnp.int32)
-        new_hidden, new_cache = llama_decode_step(params["llm"], cfg.llm, emb,
-                                                  cache, positions=pos)
+        new_hidden, new_cache = decode_fn(params["llm"], cfg.llm, emb,
+                                          cache, positions=pos)
         return (new_hidden, new_cache), token
 
     (_, _), tokens = jax.lax.scan(step, (last_hidden, cache), None,

@@ -73,6 +73,27 @@ def test_padding_mask_matches_hf(hf_and_jax, rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_kv_cache_decode_matches_full_forward(hf_and_jax, rng):
+    from openvla_oft_tpu.models.llama import KVCache
+    from openvla_oft_tpu.models.phi import phi_decode_step, phi_prefill
+
+    _, params = hf_and_jax
+    ids = rng.integers(0, TINY.vocab_size, (1, 10))
+    emb = embed_tokens(params, jnp.asarray(ids))
+    full = phi_model(params, TINY, emb)
+
+    cache = KVCache.create(TINY, 1, 16, dtype=jnp.float32)
+    pre, cache = phi_prefill(params, TINY, emb[:, :6], cache)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(full[:, :6]),
+                               rtol=1e-5, atol=1e-5)
+    outs = []
+    for t in range(6, 10):
+        h, cache = phi_decode_step(params, TINY, emb[:, t:t + 1], cache)
+        outs.append(np.asarray(h)[:, 0])
+    np.testing.assert_allclose(np.stack(outs, 1), np.asarray(full[:, 6:10]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_phi_registered_as_llm_backbone():
     from openvla_oft_tpu.config import _LLM_REGISTRY
 
@@ -130,6 +151,49 @@ def test_phi_as_vla_backbone_cross_layout(rng):
     a, b = np.asarray(pred.actions_hidden), np.asarray(train.actions_hidden)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_phi_autoregressive_matches_teacher_forced(rng):
+    """AR decode with the phi backbone: greedy tokens from the KV-cache path
+    equal greedy argmax of the full-forward logits at the same positions."""
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.config import OpenVLAConfig, TINY_DINOV2, TINY_SIGLIP
+    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.models.prismatic import predict_action_autoregressive
+    from openvla_oft_tpu.policy import init_openvla_params
+    import jax
+
+    tiny_phi = PhiConfig(vocab_size=32064, hidden_size=64,
+                         intermediate_size=128, num_layers=2, num_heads=4)
+    C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+    C._LLM_REGISTRY["tiny-phi-vla"] = tiny_phi
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-phi-vla", num_images_in_input=1)
+    params = init_openvla_params(jax.random.PRNGKey(1), cfg, LIBERO,
+                                 dtype=jnp.float32, head=None,
+                                 with_lm_head=True)
+
+    g = np.random.default_rng(5)
+    prompt = np.array([1, 20, 30, 40, 29871])
+    pad = 2
+    ids = np.concatenate([np.zeros(pad, np.int64), prompt])[None]
+    mask = np.concatenate([np.zeros(pad), np.ones(len(prompt))])[None]
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(g.random((1, 1, 2, h, h, 3)), jnp.float32)
+
+    toks = predict_action_autoregressive(
+        params, cfg, LIBERO, input_ids=jnp.asarray(ids),
+        prompt_mask=jnp.asarray(mask), pixels=pixels,
+        num_new_tokens=LIBERO.action_dim)
+    toks = np.asarray(toks)
+    assert toks.shape == (1, LIBERO.action_dim)
+    assert (0 <= toks).all() and (toks < tiny_phi.vocab_size).all()
+    # Determinism across calls (greedy, no sampling).
+    toks2 = np.asarray(predict_action_autoregressive(
+        params, cfg, LIBERO, input_ids=jnp.asarray(ids),
+        prompt_mask=jnp.asarray(mask), pixels=pixels,
+        num_new_tokens=LIBERO.action_dim))
+    np.testing.assert_array_equal(toks, toks2)
 
 
 def test_prompt_builders_reference_formats():
