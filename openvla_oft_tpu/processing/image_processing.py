@@ -85,21 +85,57 @@ def center_crop_resize(image: jnp.ndarray, crop_scale: float = 0.9,
 def make_device_transform(cfg: OpenVLAConfig):
     """Jitted: uint8 (N, H, W, 3) -> (N, n_backbones, 224, 224, 3) normalized.
 
-    Implements the processor transform (resize-naive bicubic+antialias ->
-    [0,1] -> per-backbone mean/std) fused on device. Channel-group order is
-    [primary, fused] matching `processing_prismatic.py:128-148`.
+    Implements the processor transform fused on device, keyed off
+    `cfg.image_resize_strategy` (reference `processing_prismatic.py:115-123`):
+      - "resize-naive":  squash-resize to (S, S), bicubic+antialias
+      - "resize-crop":   resize shorter side to S (aspect kept) -> CenterCrop S
+      - "letterbox":     pad to square (fill = last backbone's mean * 255,
+                         the reference per-idx loop overwrites the fill so the
+                         last backbone wins, processing_prismatic.py:113-119)
+                         -> resize shorter side to S -> CenterCrop S
+    then [0,1] -> per-backbone mean/std normalize. Channel-group order is
+    [primary, fused] matching `processing_prismatic.py:128-145`. Unknown
+    strategies raise (the reference raises too, `:122-123`).
     """
     vcfgs: Sequence[ViTConfig] = cfg.vision_configs
     size = vcfgs[0].image_size
+    strategy = getattr(cfg, "image_resize_strategy", "resize-naive")
+    if strategy not in ("resize-naive", "resize-crop", "letterbox"):
+        raise ValueError(
+            f"image_resize_strategy {strategy!r} is not supported! expected "
+            "'resize-naive', 'resize-crop', or 'letterbox' "
+            "(reference processing_prismatic.py:116-123)")
+    fill = jnp.asarray([int(m * 255) for m in vcfgs[-1].mean],
+                       jnp.float32) / 255.0
 
     @jax.jit
     def transform(images_u8: jnp.ndarray) -> jnp.ndarray:
-        n = images_u8.shape[0]
+        n, h, w = images_u8.shape[:3]
         x = images_u8.astype(jnp.float32) / 255.0
-        if x.shape[1] != size or x.shape[2] != size:
-            x = jax.image.resize(x, (n, size, size, 3), method="bicubic",
+        if strategy == "letterbox" and h != w:
+            # Symmetric constant-border pad to (near-)square: torchvision
+            # TVF.pad with int((max-d)/2) per side — an odd difference leaves
+            # the long side 1px longer, exactly as the reference does.
+            hp, vp = (max(h, w) - w) // 2, (max(h, w) - h) // 2
+            canvas = jnp.broadcast_to(fill, (n, h + 2 * vp, w + 2 * hp, 3))
+            x = jax.lax.dynamic_update_slice(canvas, x, (0, vp, hp, 0))
+            h, w = h + 2 * vp, w + 2 * hp
+        if h != size or w != size:
+            if strategy == "resize-naive":
+                nh = nw = size
+            else:
+                # torchvision Resize(int): shorter side -> S, long side
+                # truncated proportionally (_compute_resized_output_size).
+                nh, nw = ((size, int(size * w / h)) if h <= w else
+                          (int(size * h / w), size))
+            x = jax.image.resize(x, (n, nh, nw, 3), method="bicubic",
                                  antialias=True)
             x = jnp.clip(x, 0.0, 1.0)
+            if (nh, nw) != (size, size):
+                # torchvision center_crop: top = round((H - S) / 2)
+                top = int(round((nh - size) / 2.0))
+                left = int(round((nw - size) / 2.0))
+                x = x[:, top:top + size, left:left + size, :]
         outs = []
         for v in vcfgs:
             mean = jnp.asarray(v.mean, jnp.float32)

@@ -75,6 +75,104 @@ def test_processor_contract(rng):
     np.testing.assert_array_equal(back, out["pixel_values"])
 
 
+def test_letterbox_strategy_pads_to_square(rng):
+    """letterbox: symmetric pad with fill = last backbone's mean*255 before
+    the resize (reference processing_prismatic.py:23-29,113-119)."""
+    from openvla_oft_tpu.processing.image_processing import make_device_transform
+
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama",
+                        image_resize_strategy="letterbox")
+    size = cfg.vision_configs[0].image_size
+    color = np.array([200, 40, 90], np.uint8)
+    img = np.broadcast_to(color, (1, 40, 80, 3)).copy()
+    out = np.asarray(make_device_transform(cfg)(img))
+    assert out.shape == (1, 2, size, size, 3)
+    fill01 = np.array([int(m * 255) for m in cfg.vision_configs[-1].mean],
+                      np.float32) / 255.0
+    for bi, v in enumerate(cfg.vision_configs):
+        mean = np.asarray(v.mean, np.float32)
+        std = np.asarray(v.std, np.float32)
+        # top band (padded region, away from the blend edge) == fill
+        np.testing.assert_allclose(out[0, bi, 1, size // 2],
+                                   (fill01 - mean) / std, atol=1e-2)
+        # center == image color
+        np.testing.assert_allclose(out[0, bi, size // 2, size // 2],
+                                   (color / 255.0 - mean) / std, atol=1e-2)
+    # image occupies the middle half of the height (40/80 aspect)
+    band = int(size * (40 / 80) / 2)  # half-height of the image band
+    assert np.allclose(out[0, 0, size // 2 - band + 2, size // 2],
+                       (color / 255.0 - np.asarray(cfg.vision_configs[0].mean))
+                       / np.asarray(cfg.vision_configs[0].std), atol=2e-2)
+
+
+def test_resize_crop_strategy_keeps_center(rng):
+    """resize-crop: shorter side -> S, then center crop S — output must come
+    from the center square only (processing_prismatic.py:120-121)."""
+    from openvla_oft_tpu.processing.image_processing import make_device_transform
+
+    cfg_rc = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                           llm_backbone_id="tiny-llama",
+                           image_resize_strategy="resize-crop")
+    cfg_naive = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                              llm_backbone_id="tiny-llama",
+                              image_resize_strategy="resize-naive")
+    size = cfg_rc.vision_configs[0].image_size
+    # center 100x100 square white, the rest black (in a 100x200 image)
+    img = np.zeros((1, 100, 200, 3), np.uint8)
+    img[:, :, 50:150] = 255
+    out_rc = np.asarray(make_device_transform(cfg_rc)(img))
+    out_naive = np.asarray(make_device_transform(cfg_naive)(img))
+    v = cfg_rc.vision_configs[0]
+    white = (1.0 - np.asarray(v.mean)) / np.asarray(v.std)
+    # resize-crop keeps only the white center square
+    frac_white = np.isclose(out_rc[0, 0], white, atol=1e-2).all(-1).mean()
+    # (blend at the crop border eats a ~1px frame at tiny test sizes)
+    assert frac_white > 0.9, frac_white
+    # resize-naive squashes the full (half-black) width in
+    frac_white_naive = np.isclose(out_naive[0, 0], white,
+                                  atol=1e-2).all(-1).mean()
+    assert frac_white_naive < 0.6, frac_white_naive
+
+
+def test_unknown_resize_strategy_raises():
+    from openvla_oft_tpu.processing.image_processing import make_device_transform
+
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama",
+                        image_resize_strategy="bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        make_device_transform(cfg)
+
+
+def test_resize_crop_matches_pil_torchvision_semantics(rng):
+    """Numeric parity of resize-crop vs PIL (what torchvision uses on PIL
+    inputs): shorter-side resize with truncated long side + round-half-up
+    center crop."""
+    from PIL import Image
+
+    from openvla_oft_tpu.processing.image_processing import make_device_transform
+
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama",
+                        image_resize_strategy="resize-crop")
+    size = cfg.vision_configs[0].image_size
+    # smooth image so kernel differences between PIL and jax bicubic stay tiny
+    base = (rng.random((10, 13, 3)) * 255).astype(np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((130, 100), Image.BICUBIC))
+    h, w = 100, 130
+    nh, nw = size, int(size * w / h)
+    ref = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BICUBIC),
+                     np.float32) / 255.0
+    top = int(round((nh - size) / 2.0))
+    left = int(round((nw - size) / 2.0))
+    ref = ref[top:top + size, left:left + size]
+    v = cfg.vision_configs[0]
+    ref = (ref - np.asarray(v.mean)) / np.asarray(v.std)
+    out = np.asarray(make_device_transform(cfg)(img[None]))[0, 0]
+    assert np.abs(out - ref).mean() < 0.05, np.abs(out - ref).mean()
+
+
 def test_action_tokenizer_roundtrip(rng):
     at = ActionTokenizer()
     actions = rng.uniform(-1, 1, (8, 7))
