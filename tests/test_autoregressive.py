@@ -1,6 +1,7 @@
 """Autoregressive discrete decode (base-OpenVLA path): KV-cached greedy loop
 must match a no-cache greedy loop over the full multimodal forward."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,7 @@ def _greedy_reference(params, prompt_ids, pixels, n_new):
     return out
 
 
+@pytest.mark.slow
 def test_ar_decode_matches_no_cache_greedy():
     rng = np.random.default_rng(0)
     params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,

@@ -137,6 +137,7 @@ def test_reference_pt_import(tmp_path):
     np.testing.assert_allclose(gotp, refp, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     tree = {"a": jnp.arange(12.0).reshape(3, 4),
             "nested": {"b": jnp.ones((2, 2), jnp.bfloat16)}}

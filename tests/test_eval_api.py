@@ -56,6 +56,7 @@ def _eval_cfg(ckpt):
     return Cfg
 
 
+@pytest.mark.slow
 def test_get_vla_and_action_from_exported_checkpoint(exported_ckpt, rng):
     from experiments.robot.openvla_utils import get_processor, get_vla, get_vla_action
     from openvla_oft_tpu.models.action_heads import init_l1_head
@@ -105,6 +106,7 @@ def test_discrete_eval_path(exported_ckpt, rng):
     assert np.isfinite(stacked).all()
 
 
+@pytest.mark.slow
 def test_get_vla_quantized_flags(exported_ckpt, rng):
     """load_in_8bit / load_in_4bit flags quantize the LLM at load."""
     import jax.numpy as jnp

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+@pytest.mark.slow
 def test_finetune_resume(tmp_path):
     """Train 2 steps -> save; resume continues from the saved step."""
     from vla_scripts.finetune import FinetuneConfig, finetune
@@ -32,6 +33,7 @@ def test_finetune_resume(tmp_path):
     assert [c.name for c in ckpts] == ["000002", "000004"]
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_larger_batch():
     """optax.MultiSteps: k micro-steps of batch b ~ one step of batch k*b."""
     import openvla_oft_tpu.config as C

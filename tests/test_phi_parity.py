@@ -102,6 +102,7 @@ def test_phi_registered_as_llm_backbone():
     assert cfg.num_kv_heads == cfg.num_heads == 32
 
 
+@pytest.mark.slow
 def test_phi_as_vla_backbone_cross_layout(rng):
     """Phi-2 as the VLA LLM: left-padded inference layout == training layout,
     and outputs are finite (equal_nan defaults would hide an all-NaN match)."""

@@ -2,6 +2,7 @@
 SIGTERM latches a flag, the loop checkpoints at the step boundary and exits
 cleanly, and resume continues from the preemption checkpoint."""
 
+import pytest
 import os
 import signal
 import sys
@@ -29,6 +30,7 @@ def test_guard_programmatic_stop():
         assert guard.should_stop
 
 
+@pytest.mark.slow
 def test_finetune_checkpoints_on_preemption(tmp_path, monkeypatch):
     """Preempt at the 3rd step poll: loop saves step-3 checkpoint + exits;
     resume picks up from it (zero lost steps)."""

@@ -65,6 +65,7 @@ def _pixels(b=1):
     return jnp.asarray(rng.random((b, 1, 2, h, h, 3)), jnp.float32)
 
 
+@pytest.mark.slow
 def test_inference_layout_matches_training_layout(params):
     """Left-padded logical-position inference == reference physical layout."""
     prompt, full_ids, labels = _make_example()
@@ -92,6 +93,7 @@ def test_inference_layout_matches_training_layout(params):
             rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_batched_mixed_prompt_lengths(params):
     """Two different prompt lengths in one batch match their solo runs."""
     pixels2 = jnp.concatenate([_pixels(), _pixels()], axis=0)
@@ -166,6 +168,7 @@ def test_add_noise_formula():
         np.testing.assert_allclose(out[b], expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_aloha_platform_layout_equivalence(params):
     """ALOHA geometry (3 images, 25x14 chunk) through both layouts."""
     from openvla_oft_tpu.constants import ALOHA

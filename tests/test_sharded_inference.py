@@ -1,6 +1,7 @@
 """Sharded inference correctness: tp/fsdp-sharded predict equals the
 single-device result (GSPMD must only change layout, never math)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -19,6 +20,7 @@ C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
 CFG = OpenVLAConfig(vision_backbone_id="tiny-dual", llm_backbone_id="tiny-llama")
 
 
+@pytest.mark.slow
 def test_tp_fsdp_sharded_predict_matches_single_device(rng):
     params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
                                  dtype=jnp.float32, head="l1")

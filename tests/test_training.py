@@ -93,6 +93,7 @@ def test_lora_identity_at_init():
     assert set(lora["llm"]["layers"]["mlp"].keys()) == {"gate", "up", "down"}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("objective", ["l1", "discrete", "diffusion"])
 def test_loss_decreases(objective):
     state, cfg = _setup(objective)
@@ -112,6 +113,7 @@ def test_loss_decreases(objective):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev_mesh():
     """Full train step under dp=2, fsdp=2, tp=2 on the virtual CPU mesh."""
     assert len(jax.devices()) == 8
