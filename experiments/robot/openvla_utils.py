@@ -147,12 +147,29 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
 
 
 def _try_tokenizer(ckpt: str):
-    try:
+    """Load the checkpoint's Llama tokenizer — loudly.
+
+    A real checkpoint with broken/missing tokenizer assets raises instead of
+    silently substituting the test stand-in (a fake tokenizer would produce
+    garbage actions with no error). The stand-in is allowed only for
+    synthetic "random:" checkpoints or with OPENVLA_ALLOW_FAKE_TOKENIZER=1
+    (tests/benchmarks)."""
+    has_assets = os.path.isdir(ckpt) and any(
+        os.path.exists(os.path.join(ckpt, f))
+        for f in ("tokenizer.json", "tokenizer.model",
+                  "tokenizer_config.json"))
+    if has_assets:
         from openvla_oft_tpu.processing.processor import load_tokenizer
 
-        return load_tokenizer(ckpt)
-    except Exception:
+        return load_tokenizer(ckpt)  # failures propagate
+    if (ckpt.startswith("random:")
+            or os.environ.get("OPENVLA_ALLOW_FAKE_TOKENIZER") == "1"):
         return FakeLlamaTokenizer()
+    raise FileNotFoundError(
+        f"No tokenizer assets (tokenizer.json / tokenizer.model) found in "
+        f"{ckpt!r}. Real checkpoints must include the Llama tokenizer; set "
+        f"OPENVLA_ALLOW_FAKE_TOKENIZER=1 to use the deterministic test "
+        f"stand-in (tests/benchmarks only).")
 
 
 def get_processor(cfg: Any) -> PrismaticProcessor:

