@@ -120,18 +120,25 @@ def test_oxe_registry_and_kwargs():
                  "bridge_orig", "ur5e_pick_place", "fractal20220817_data"):
         assert name in OXE_DATASET_CONFIGS, name
 
-    kw = make_oxe_dataset_kwargs("libero_spatial_no_noops", "/data")
+    kw = make_oxe_dataset_kwargs("libero_spatial_no_noops", "/data",
+                                 load_camera_views=("primary", "wrist"))
     # EEF_POS: 6 relative arm dims + absolute gripper (materialize.py:36-45)
     assert kw["absolute_action_mask"] == [False] * 6 + [True]
     assert kw["action_normalization_mask"] == [True] * 6 + [False]
     assert kw["image_obs_keys"]["wrist"] == "wrist_image"
     assert kw["standardize_fn"] is not None
+    # default view set filters to primary only (materialize.py:48-57)
+    kw_p = make_oxe_dataset_kwargs("libero_spatial_no_noops", "/data")
+    assert set(kw_p["image_obs_keys"]) == {"primary"}
 
     aloha = OXE_DATASET_CONFIGS["aloha_scoop_x_into_bowl"]
     assert aloha.action_encoding == ActionEncoding.JOINT_POS_BIMANUAL
     assert aloha.state_encoding == StateEncoding.JOINT_BIMANUAL
     kw2 = make_oxe_dataset_kwargs("aloha_scoop_x_into_bowl", "/data")
-    assert kw2["absolute_action_mask"] == ([False] * 6 + [True]) * 2
+    # bimanual joint actions are fully absolute + normalized
+    # (reference materialize.py:42-44)
+    assert kw2["absolute_action_mask"] == [True] * 14
+    assert kw2["action_normalization_mask"] == [True] * 14
 
     kwargs, weights = get_oxe_dataset_kwargs_and_weights("/data", "rtx")
     assert len(kwargs) == len(weights) == 10
