@@ -154,22 +154,121 @@ def _augment_image(img, seed):
     return img
 
 
+def _standardize_episode_np(ep_np: Dict, name: str,
+                            standardize_fn: Callable,
+                            platform: PlatformSpec) -> Dict:
+    """Apply an OXE standardization transform to a parsed native episode.
+
+    Builds the RLDS trajectory layout the registry transforms expect
+    (action + observation dict with the raw `state` key), applies the
+    transform, and reassembles proprio from the registry's `state_obs_keys`
+    (None keys pad a zero column — reference rlds/dataset.py obs remap).
+    """
+    from openvla_oft_tpu.data.rlds.oxe import OXE_DATASET_CONFIGS
+
+    t = len(ep_np["actions"])
+    lang = ep_np["language_instruction"]
+    # native episodes store one instruction per episode; transforms expect the
+    # RLDS per-step layout (so e.g. bridge's first-step truncation slices it)
+    lang_steps = np.asarray([lang] * t) if np.ndim(lang) == 0 else lang
+    traj = {
+        "action": np.asarray(ep_np["actions"], np.float32),
+        # images ride through the transform so truncating transforms (bridge
+        # drops the first and last steps) keep frames aligned with actions
+        "observation": {"state": np.asarray(ep_np["proprio"], np.float32),
+                        "proprio": np.asarray(ep_np["proprio"], np.float32),
+                        "image_primary": np.asarray(ep_np["images"]),
+                        **({"image_wrist": np.asarray(ep_np["wrist_images"])}
+                           if "wrist_images" in ep_np else {})},
+        "language_instruction": lang_steps,
+    }
+    out = standardize_fn(traj)
+    actions = np.asarray(out["action"], np.float32)
+    t_out = len(actions)  # transforms may truncate (bridge relabel)
+    obs = out["observation"]
+    cfg = OXE_DATASET_CONFIGS.get(name)
+    proprio = None
+    if cfg is not None and cfg.state_obs_keys:
+        cols = []
+        ok = True
+        for key in cfg.state_obs_keys:
+            if key is None:
+                cols.append(np.zeros((t_out, 1), np.float32))
+            elif key in obs:
+                arr = np.asarray(obs[key], np.float32)
+                cols.append(arr[:t_out].reshape(t_out, -1))
+            else:
+                ok = False
+                break
+        if ok:
+            proprio = np.concatenate(cols, axis=1)
+    if proprio is None:
+        proprio = np.asarray(obs.get("proprio", ep_np["proprio"]),
+                             np.float32)[:t_out]
+    out_lang = out.get("language_instruction", lang_steps)
+    result = {
+        "images": np.asarray(obs["image_primary"])[:t_out],
+        "actions": actions,
+        "proprio": proprio,
+        # back to one instruction per episode for the native frame layout
+        "language_instruction": out_lang[0] if np.ndim(out_lang) else out_lang,
+    }
+    if "image_wrist" in obs:
+        result["wrist_images"] = np.asarray(obs["image_wrist"])[:t_out]
+    return result
+
+
+def _resolve_standardize_fn(root: str, name: str, standardize_fn):
+    """Resolve the "auto" standardize sentinel against the OXE registry,
+    skipping datasets already standardized at conversion time
+    (tfds_format.convert_tfds_to_native writes a native_format.json marker)."""
+    if standardize_fn != "auto":
+        return standardize_fn
+    marker = os.path.join(root, name, "native_format.json")
+    if os.path.exists(marker):
+        import json
+
+        with open(marker) as f:
+            if json.load(f).get("standardized"):
+                return None
+    from openvla_oft_tpu.data.rlds.oxe import OXE_STANDARDIZATION_TRANSFORMS
+
+    return OXE_STANDARDIZATION_TRANSFORMS.get(name)
+
+
 def compute_stats_from_tfrecords(root: str, name: str, platform: PlatformSpec,
-                                 max_episodes: int = 1000) -> Dict:
+                                 max_episodes: int = 1000,
+                                 standardize_fn: Optional[Callable] = None,
+                                 has_wrist: bool = False) -> Dict:
+    """Normalization statistics over the *standardized* action/proprio stream
+    (stats computed on raw actions would mis-normalize transformed ones)."""
     tf = _tf()
     files = sorted(glob.glob(os.path.join(root, name, "*.tfrecord*")))
     assert files, f"no tfrecords under {os.path.join(root, name)}"
     ds = tf.data.TFRecordDataset(files)
     acts, props, n_ep = [], [], 0
     for rec in ds.take(max_episodes):
-        ep = _parse_episode(rec, platform, has_wrist=False)
-        acts.append(ep["actions"].numpy())
-        if ep["proprio"].shape[0]:
-            props.append(ep["proprio"].numpy())
+        ep = _parse_episode(rec, platform, has_wrist=has_wrist)
+        ep_np = {"images": ep["images"].numpy(),
+                 "actions": ep["actions"].numpy(),
+                 "proprio": ep["proprio"].numpy(),
+                 "language_instruction": ep["language_instruction"].numpy()}
+        if has_wrist:
+            ep_np["wrist_images"] = ep["wrist_images"].numpy()
+        if standardize_fn is not None:
+            ep_np = _standardize_episode_np(ep_np, name, standardize_fn,
+                                            platform)
+        acts.append(np.asarray(ep_np["actions"]))
+        if len(np.asarray(ep_np["proprio"])):
+            props.append(np.asarray(ep_np["proprio"]))
         n_ep += 1
     actions = np.concatenate(acts)
     proprios = np.concatenate(props) if props else None
-    return compute_dataset_statistics(actions, proprios, num_trajectories=n_ep)
+    stats = compute_dataset_statistics(actions, proprios,
+                                       num_trajectories=n_ep)
+    if standardize_fn is not None:
+        stats["transform"] = getattr(standardize_fn, "__name__", "custom")
+    return stats
 
 
 def make_rlds_iterator(
@@ -181,19 +280,38 @@ def make_rlds_iterator(
     image_aug: bool = True,
     train: bool = True,
     seed: int = 0,
-    standardize_fn: Optional[Callable] = None,
+    standardize_fn="auto",
     num_images: int = 1,
+    goal_relabeling_strategy: Optional[str] = "uniform",
+    task_augment_prob: float = 0.0,
 ) -> Tuple[Iterator[Dict[str, np.ndarray]], Dict]:
     """Build the frame iterator + dataset statistics for one dataset.
 
     Yields numpy frame dicts through `batch_transform` (RLDSBatchTransform).
+
+    `standardize_fn="auto"` wires the OXE registry transform for `name`
+    (reference `make_oxe_dataset_kwargs`, materialize.py:74) unless the data
+    was already standardized at conversion time; pass None to disable.
+    `goal_relabeling_strategy="uniform"` attaches a uniformly-sampled future
+    frame as the goal (reference datasets.py:143 + goal_relabeling.py) — the
+    goal image stays JPEG-encoded in the task dict (the OFT objectives never
+    decode it; decoding 1 extra frame/step would only burn host cycles).
+    `task_augment_prob` > 0 enables image-or-language modality dropout
+    (reference task_augmentation.py), applied to goal-relabeled frames.
     """
     tf = _tf()
+    standardize_fn = _resolve_standardize_fn(root, name, standardize_fn)
+    fn_name = getattr(standardize_fn, "__name__", "custom") \
+        if standardize_fn else None
     stats_path = os.path.join(root, name, "dataset_statistics.json")
+    stats = None
     if os.path.exists(stats_path):
         stats = load_dataset_statistics(stats_path)
-    else:
-        stats = compute_stats_from_tfrecords(root, name, platform)
+        if stats.get("transform") != fn_name:
+            stats = None  # stale: computed under a different standardization
+    if stats is None:
+        stats = compute_stats_from_tfrecords(root, name, platform,
+                                             standardize_fn=standardize_fn)
         save_dataset_statistics(stats, os.path.join(root, name))
     norm_type = platform.norm_type
     future = platform.num_actions_chunk - 1
@@ -215,34 +333,34 @@ def make_rlds_iterator(
         ds = ds.repeat().shuffle(min(64, max(len(files) * 4, 8)),
                                  seed=seed + proc)
 
+    has_wrist = num_images > 1
     if standardize_fn is not None:
-        # OXE standardization transforms are NumPy functions (data/rlds/oxe.py)
-        # — they cannot trace inside the tf.data graph, so route each episode
-        # through an eager py_function before the graph-mode frame transforms.
+        # OXE standardization transforms are NumPy functions
+        # (data/rlds/oxe/transforms.py) — they cannot trace inside the
+        # tf.data graph, so route each episode through an eager py_function
+        # before the graph-mode frame transforms. Wrist images ride along.
         def standardize_record(record):
             def eager(rec):
-                ep = _parse_episode(rec, platform, has_wrist=False)
-                ep_np = {"images": ep["images"].numpy(),
-                         "actions": ep["actions"].numpy(),
-                         "observation": {"proprio": ep["proprio"].numpy(),
-                                         "state": ep["proprio"].numpy()},
-                         "language_instruction":
-                             ep["language_instruction"].numpy()}
-                ep_np["action"] = ep_np["actions"]
-                out = standardize_fn(ep_np)
-                return (tf.constant(out["images"]),
-                        tf.constant(np.asarray(out.get("action",
-                                                       out["actions"]),
-                                               np.float32)),
-                        tf.constant(np.asarray(
-                            out["observation"]["proprio"], np.float32)),
-                        tf.constant(out["language_instruction"]))
+                ep = _parse_episode(rec, platform, has_wrist=has_wrist)
+                ep_np = {k: v.numpy() for k, v in ep.items()}
+                out = _standardize_episode_np(ep_np, name, standardize_fn,
+                                              platform)
+                rets = [tf.constant(out["images"]),
+                        tf.constant(np.asarray(out["actions"], np.float32)),
+                        tf.constant(np.asarray(out["proprio"], np.float32)),
+                        tf.constant(out["language_instruction"])]
+                if has_wrist:
+                    rets.append(tf.constant(out["wrist_images"]))
+                return rets
 
-            images, actions, proprio, lang = tf.py_function(
-                eager, [record],
-                [tf.string, tf.float32, tf.float32, tf.string])
-            return {"images": images, "actions": actions, "proprio": proprio,
-                    "language_instruction": lang}
+            sig = [tf.string, tf.float32, tf.float32, tf.string] + \
+                ([tf.string] if has_wrist else [])
+            parts = tf.py_function(eager, [record], sig)
+            ep = {"images": parts[0], "actions": parts[1],
+                  "proprio": parts[2], "language_instruction": parts[3]}
+            if has_wrist:
+                ep["wrist_images"] = parts[4]
+            return ep
 
         ds = ds.map(standardize_record)
 
@@ -252,8 +370,7 @@ def make_rlds_iterator(
             ep["actions"].set_shape([None, platform.action_dim])
             ep["proprio"].set_shape([None, platform.proprio_dim])
         else:
-            ep = _parse_episode(ep_or_record, platform,
-                                has_wrist=(num_images > 1))
+            ep = _parse_episode(ep_or_record, platform, has_wrist=has_wrist)
         actions = _normalize_tf(ep["actions"], stats["action"], norm_type)
         t = tf.shape(actions)[0]
         eff = t - future
@@ -268,8 +385,24 @@ def make_rlds_iterator(
             "language_instruction": tf.repeat(ep["language_instruction"][None],
                                               eff),
         }
-        if num_images > 1:
+        if has_wrist:
             frames["image_wrist"] = ep["wrist_images"][:eff]
+        if goal_relabeling_strategy == "uniform":
+            # hindsight goal: t' ~ Uniform[t, T) per frame (reference
+            # goal_relabeling.py "uniform"); kept JPEG-encoded.
+            u = tf.random.stateless_uniform(
+                [eff], seed=tf.stack([
+                    tf.constant(seed, tf.int64),
+                    tf.strings.to_hash_bucket_fast(
+                        ep["language_instruction"], 2 ** 30)]))
+            lo = tf.range(eff)
+            goal_idx = lo + tf.cast(
+                u * tf.cast(t - lo, tf.float32), tf.int32)
+            goal_idx = tf.minimum(goal_idx, t - 1)
+            frames["goal_image"] = tf.gather(ep["images"], goal_idx)
+        elif goal_relabeling_strategy is not None:
+            raise ValueError(
+                f"unknown goal_relabeling_strategy {goal_relabeling_strategy!r}")
         proprio = ep["proprio"]
         if stats.get("proprio"):
             proprio = _normalize_tf(proprio, stats["proprio"], norm_type)
@@ -281,22 +414,37 @@ def make_rlds_iterator(
         ds = ds.shuffle(shuffle_buffer_size, seed=seed)
 
     def decode(frame):
+        # per-frame seed from language + action content (deterministic given
+        # the episode), offset per image key so each camera augments
+        # differently (reference obs_transforms.py:27-40 `seed + i`).
+        seed_t = tf.cast(tf.stack([
+            tf.strings.to_hash_bucket_fast(frame["language_instruction"],
+                                           2 ** 30),
+            tf.cast(tf.reduce_sum(tf.cast(
+                frame["action_chunk"] * 1e4, tf.int64)) % (2 ** 30),
+                tf.int64)]), tf.int32)
         img = tf.io.decode_jpeg(frame["image_primary"], channels=3)
-        if "image_wrist" in frame:
-            # wrist camera: decode only — the reference augments only via the
-            # shared seeded transform on non-padding images; wrist follows the
-            # primary frame's crop at eval, raw at train (obs_transforms.py)
-            frame["image_wrist"] = tf.io.decode_jpeg(frame["image_wrist"],
-                                                     channels=3)
         if image_aug and train:
-            seed_t = tf.stack([
-                tf.strings.to_hash_bucket_fast(frame["language_instruction"],
-                                               2 ** 30),
-                tf.cast(tf.reduce_sum(tf.cast(
-                    frame["action_chunk"] * 1e4, tf.int64)) % (2 ** 30),
-                    tf.int64)])
-            img = _augment_image(img, tf.cast(seed_t, tf.int32))
+            img = _augment_image(img, seed_t)
         frame["image_primary"] = img
+        if "image_wrist" in frame:
+            wrist = tf.io.decode_jpeg(frame["image_wrist"], channels=3)
+            if image_aug and train:
+                wrist = _augment_image(wrist, seed_t + tf.constant([16, 0]))
+            frame["image_wrist"] = wrist
+        if task_augment_prob > 0 and train and "goal_image" in frame:
+            # modality dropout (reference task_augmentation.py
+            # `delete_task_conditioning`): keep image-goal XOR language.
+            u = tf.random.stateless_uniform([2], seed=seed_t + [32, 0])
+            def drop_lang():
+                return (tf.constant(b""), frame["goal_image"])
+            def drop_goal():
+                return (frame["language_instruction"], tf.constant(b""))
+            lang, goal = tf.cond(
+                u[0] < task_augment_prob,
+                lambda: tf.cond(u[1] < 0.5, drop_lang, drop_goal),
+                lambda: (frame["language_instruction"], frame["goal_image"]))
+            frame["language_instruction"], frame["goal_image"] = lang, goal
         return frame
 
     ds = ds.map(decode, num_parallel_calls=tf.data.AUTOTUNE)
@@ -312,7 +460,9 @@ def make_rlds_iterator(
                     **({"proprio": frame["proprio"]} if "proprio" in frame
                        else {}),
                 },
-                "task": {"language_instruction": frame["language_instruction"]},
+                "task": {"language_instruction": frame["language_instruction"],
+                         **({"image_primary": frame["goal_image"]}
+                            if "goal_image" in frame else {})},
                 "action": frame["action_chunk"],
                 "dataset_name": name,
             }

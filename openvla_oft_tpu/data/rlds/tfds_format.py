@@ -42,6 +42,16 @@ def find_tfds_files(root: str, name: str, split: str = "train") -> List[str]:
     return []
 
 
+# raw float observation keys commonly holding proprio in OXE datasets —
+# probed in addition to the registry's (post-standardization) state keys,
+# because transforms *create* keys like EEF_state from these raw ones.
+_RAW_STATE_CANDIDATES = (
+    "state", "proprio", "robot_obs", "robot_state", "cartesian_position",
+    "gripper_position", "eef_pose", "joint_state", "end_effector_cartesian_pos",
+    "end_effector_pose", "tcp_pose",
+)
+
+
 def tfds_feature_keys(name: str) -> Dict[str, Optional[str]]:
     """Resolve TFDS flat keys from the OXE registry entry."""
     cfg = OXE_DATASET_CONFIGS.get(name)
@@ -50,11 +60,21 @@ def tfds_feature_keys(name: str) -> Dict[str, Optional[str]]:
     return {"image_keys": image_keys, "state_keys": state_keys}
 
 
-def parse_tfds_episode(record_bytes, name: str, platform: PlatformSpec):
-    """Parse one TFDS RLDS episode record -> numpy episode dict (eager)."""
+def parse_tfds_episode(record_bytes, name: str, platform: PlatformSpec,
+                       keep_raw_state: bool = False):
+    """Parse one TFDS RLDS episode record -> numpy episode dict (eager).
+
+    With `keep_raw_state`, every present float observation key is kept
+    separately (the layout standardization transforms consume); otherwise the
+    registry state keys are concatenated into `proprio`.
+    """
     import tensorflow as tf
 
     keys = tfds_feature_keys(name)
+    float_keys = list(keys["state_keys"])
+    if keep_raw_state:
+        float_keys += [k for k in _RAW_STATE_CANDIDATES
+                       if k not in float_keys]
     spec = {
         "steps/action": tf.io.VarLenFeature(tf.float32),
         "steps/language_instruction": tf.io.VarLenFeature(tf.string),
@@ -62,7 +82,7 @@ def parse_tfds_episode(record_bytes, name: str, platform: PlatformSpec):
     for alias, obs_key in keys["image_keys"].items():
         if obs_key:
             spec[f"steps/observation/{obs_key}"] = tf.io.VarLenFeature(tf.string)
-    for sk in keys["state_keys"]:
+    for sk in float_keys:
         spec[f"steps/observation/{sk}"] = tf.io.VarLenFeature(tf.float32)
 
     parsed = tf.io.parse_single_example(record_bytes, spec)
@@ -75,27 +95,39 @@ def parse_tfds_episode(record_bytes, name: str, platform: PlatformSpec):
         imgs = tf.sparse.to_dense(
             parsed[f"steps/observation/{obs_key}"]).numpy()
         if len(imgs):
-            out["observation"][f"image_{alias}"] = list(imgs)
+            # raw key names under keep_raw_state (standardization transforms
+            # address raw keys, e.g. droid's exterior-image swap); aliased
+            # names otherwise.
+            key = obs_key if keep_raw_state else f"image_{alias}"
+            out["observation"][key] = list(imgs)
             t = len(imgs)
     if t is None:
         raise ValueError(f"no image steps parsed for {name}")
     out["action"] = actions.reshape(t, -1)
     lang = tf.sparse.to_dense(parsed["steps/language_instruction"]).numpy()
     out["language_instruction"] = lang[0] if len(lang) else b""
-    states = []
-    for sk in keys["state_keys"]:
-        arr = tf.sparse.to_dense(parsed[f"steps/observation/{sk}"]).numpy()
-        if arr.size:
-            states.append(arr.reshape(t, -1))
-    if states:
-        out["observation"]["proprio"] = np.concatenate(states, axis=1)
+    if keep_raw_state:
+        for sk in float_keys:
+            arr = tf.sparse.to_dense(parsed[f"steps/observation/{sk}"]).numpy()
+            if arr.size:
+                out["observation"][sk] = arr.reshape(t, -1)
+    else:
+        states = []
+        for sk in keys["state_keys"]:
+            arr = tf.sparse.to_dense(
+                parsed[f"steps/observation/{sk}"]).numpy()
+            if arr.size:
+                states.append(arr.reshape(t, -1))
+        if states:
+            out["observation"]["proprio"] = np.concatenate(states, axis=1)
     return out
 
 
 def iterate_tfds_episodes(root: str, name: str, platform: PlatformSpec,
                           split: str = "train",
                           shuffle_seed: Optional[int] = None,
-                          repeat: bool = False) -> Iterator[Dict]:
+                          repeat: bool = False,
+                          keep_raw_state: bool = False) -> Iterator[Dict]:
     """Yield numpy episode dicts from a TFDS RLDS dataset dir."""
     import tensorflow as tf
 
@@ -109,38 +141,81 @@ def iterate_tfds_episodes(root: str, name: str, platform: PlatformSpec,
             np.random.default_rng(shuffle_seed).shuffle(order)
         ds = tf.data.TFRecordDataset(order)
         for rec in ds:
-            yield parse_tfds_episode(rec, name, platform)
+            yield parse_tfds_episode(rec, name, platform,
+                                     keep_raw_state=keep_raw_state)
         if not repeat:
             return
 
 
+def _assemble_proprio(obs: Dict, name: str, t: int) -> Optional[np.ndarray]:
+    """Concatenate the registry's state_obs_keys into the proprio vector,
+    zero-padding None entries (reference rlds/dataset.py obs remapping)."""
+    cfg = OXE_DATASET_CONFIGS.get(name)
+    if cfg is None or not cfg.state_obs_keys:
+        return obs.get("proprio")
+    cols = []
+    for key in cfg.state_obs_keys:
+        if key is None:
+            cols.append(np.zeros((t, 1), np.float32))
+        elif key in obs:
+            cols.append(np.asarray(obs[key], np.float32).reshape(t, -1))
+        else:
+            return obs.get("proprio")
+    return np.concatenate(cols, axis=1)
+
+
 def convert_tfds_to_native(root: str, name: str, platform: PlatformSpec,
                            out_dir: str, split: str = "train",
-                           max_episodes: Optional[int] = None) -> int:
+                           max_episodes: Optional[int] = None,
+                           standardize: bool = True) -> int:
     """One-time conversion: TFDS RLDS -> this repo's native episode format
     (data/rlds/pipeline.py), after which the full streaming pipeline
-    (chunking, normalization, augmentation, interleave) applies."""
+    (chunking, normalization, augmentation, interleave) applies.
+
+    With `standardize` (default), the OXE registry transform for `name` runs
+    during conversion — actions land on disk already standardized (LIBERO
+    gripper clip+invert etc., reference materialize.py:74) and a
+    `native_format.json` marker tells the pipeline not to re-apply it.
+    """
+    from openvla_oft_tpu.data.rlds.oxe import OXE_STANDARDIZATION_TRANSFORMS
     from openvla_oft_tpu.data.rlds.pipeline import write_episode_tfrecords
 
+    fn = OXE_STANDARDIZATION_TRANSFORMS.get(name) if standardize else None
     episodes = []
     n = 0
-    for ep in iterate_tfds_episodes(root, name, platform, split):
+    for ep in iterate_tfds_episodes(root, name, platform, split,
+                                    keep_raw_state=fn is not None):
+        if fn is not None:
+            ep = fn(ep)
+            # raw image keys -> canonical aliases (post-transform, so e.g.
+            # droid's exterior swap is reflected)
+            cfg = OXE_DATASET_CONFIGS.get(name)
+            obs = ep["observation"]
+            for alias, obs_key in (cfg.image_obs_keys if cfg else {}).items():
+                if obs_key and obs_key in obs:
+                    obs[f"image_{alias}"] = obs.pop(obs_key)
+        t = len(ep["action"])
+        obs = ep["observation"]
+        proprio = _assemble_proprio(obs, name, t)
         native = {
-            "images": ep["observation"]["image_primary"],
-            "actions": ep["action"],
-            "proprio": ep["observation"].get(
-                "proprio", np.zeros((len(ep["action"]),
-                                     platform.proprio_dim), np.float32)),
+            "images": list(obs["image_primary"])[:t],
+            "actions": np.asarray(ep["action"], np.float32),
+            "proprio": np.asarray(
+                proprio if proprio is not None else
+                np.zeros((t, platform.proprio_dim)), np.float32)[:t],
             "language_instruction":
                 ep["language_instruction"].decode()
                 if isinstance(ep["language_instruction"], bytes)
-                else ep["language_instruction"],
+                else str(ep["language_instruction"]),
         }
-        if "image_wrist" in ep["observation"]:
-            native["wrist_images"] = ep["observation"]["image_wrist"]
+        if "image_wrist" in obs:
+            native["wrist_images"] = list(obs["image_wrist"])[:t]
         episodes.append(native)
         n += 1
         if max_episodes and n >= max_episodes:
             break
     write_episode_tfrecords(out_dir, episodes)
+    with open(os.path.join(out_dir, "native_format.json"), "w") as f:
+        json.dump({"standardized": fn is not None,
+                   "transform": getattr(fn, "__name__", None)}, f)
     return n
