@@ -271,34 +271,21 @@ def compute_stats_from_tfrecords(root: str, name: str, platform: PlatformSpec,
     return stats
 
 
-def make_rlds_iterator(
+def _build_encoded_frame_dataset(
     root: str,
     name: str,
-    batch_transform,
     platform: PlatformSpec,
-    shuffle_buffer_size: int = 10_000,
-    image_aug: bool = True,
     train: bool = True,
     seed: int = 0,
     standardize_fn="auto",
     num_images: int = 1,
     goal_relabeling_strategy: Optional[str] = "uniform",
-    task_augment_prob: float = 0.0,
-) -> Tuple[Iterator[Dict[str, np.ndarray]], Dict]:
-    """Build the frame iterator + dataset statistics for one dataset.
-
-    Yields numpy frame dicts through `batch_transform` (RLDSBatchTransform).
-
-    `standardize_fn="auto"` wires the OXE registry transform for `name`
-    (reference `make_oxe_dataset_kwargs`, materialize.py:74) unless the data
-    was already standardized at conversion time; pass None to disable.
-    `goal_relabeling_strategy="uniform"` attaches a uniformly-sampled future
-    frame as the goal (reference datasets.py:143 + goal_relabeling.py) — the
-    goal image stays JPEG-encoded in the task dict (the OFT objectives never
-    decode it; decoding 1 extra frame/step would only burn host cycles).
-    `task_augment_prob` > 0 enables image-or-language modality dropout
-    (reference task_augmentation.py), applied to goal-relabeled frames.
-    """
+):
+    """Per-dataset tf.data graph up to (and including) frame chunking, with
+    images still JPEG-encoded — the shared building block for the single
+    dataset iterator and the mixed `sample_from_datasets` graph. Shuffling
+    encoded frames keeps the mixture shuffle buffer ~50x smaller in memory
+    than the decoded frames the reference buffers (rlds/dataset.py:544)."""
     tf = _tf()
     standardize_fn = _resolve_standardize_fn(root, name, standardize_fn)
     fn_name = getattr(standardize_fn, "__name__", "custom") \
@@ -384,6 +371,7 @@ def make_rlds_iterator(
             "action_chunk": chunks,
             "language_instruction": tf.repeat(ep["language_instruction"][None],
                                               eff),
+            "dataset_name": tf.fill([eff], name),
         }
         if has_wrist:
             frames["image_wrist"] = ep["wrist_images"][:eff]
@@ -409,9 +397,16 @@ def make_rlds_iterator(
         frames["proprio"] = proprio[:eff]
         return tf.data.Dataset.from_tensor_slices(frames)
 
-    ds = ds.interleave(to_frames, cycle_length=4, num_parallel_calls=tf.data.AUTOTUNE)
-    if train:
-        ds = ds.shuffle(shuffle_buffer_size, seed=seed)
+    ds = ds.interleave(to_frames, cycle_length=4,
+                       num_parallel_calls=tf.data.AUTOTUNE)
+    return ds, stats
+
+
+def _decode_and_augment(ds, image_aug: bool, train: bool,
+                        task_augment_prob: float):
+    """JPEG decode + seeded augmentation over a (possibly mixed) frame
+    stream. Runs AFTER the shuffle buffer so the buffer holds encoded bytes."""
+    tf = _tf()
 
     def decode(frame):
         # per-frame seed from language + action content (deterministic given
@@ -436,10 +431,13 @@ def make_rlds_iterator(
             # modality dropout (reference task_augmentation.py
             # `delete_task_conditioning`): keep image-goal XOR language.
             u = tf.random.stateless_uniform([2], seed=seed_t + [32, 0])
+
             def drop_lang():
                 return (tf.constant(b""), frame["goal_image"])
+
             def drop_goal():
                 return (frame["language_instruction"], tf.constant(b""))
+
             lang, goal = tf.cond(
                 u[0] < task_augment_prob,
                 lambda: tf.cond(u[1] < 0.5, drop_lang, drop_goal),
@@ -448,8 +446,10 @@ def make_rlds_iterator(
         return frame
 
     ds = ds.map(decode, num_parallel_calls=tf.data.AUTOTUNE)
-    ds = ds.prefetch(tf.data.AUTOTUNE)
+    return ds.prefetch(tf.data.AUTOTUNE)
 
+
+def _wrap_frame_iterator(ds, batch_transform):
     def iterator():
         for frame in ds.as_numpy_iterator():
             rlds_batch = {
@@ -464,11 +464,51 @@ def make_rlds_iterator(
                          **({"image_primary": frame["goal_image"]}
                             if "goal_image" in frame else {})},
                 "action": frame["action_chunk"],
-                "dataset_name": name,
+                "dataset_name": frame["dataset_name"].decode()
+                if isinstance(frame["dataset_name"], bytes)
+                else str(frame["dataset_name"]),
             }
             yield batch_transform(rlds_batch)
 
-    return iterator(), {name: stats}
+    return iterator()
+
+
+def make_rlds_iterator(
+    root: str,
+    name: str,
+    batch_transform,
+    platform: PlatformSpec,
+    shuffle_buffer_size: int = 10_000,
+    image_aug: bool = True,
+    train: bool = True,
+    seed: int = 0,
+    standardize_fn="auto",
+    num_images: int = 1,
+    goal_relabeling_strategy: Optional[str] = "uniform",
+    task_augment_prob: float = 0.0,
+) -> Tuple[Iterator[Dict[str, np.ndarray]], Dict]:
+    """Build the frame iterator + dataset statistics for one dataset.
+
+    Yields numpy frame dicts through `batch_transform` (RLDSBatchTransform).
+
+    `standardize_fn="auto"` wires the OXE registry transform for `name`
+    (reference `make_oxe_dataset_kwargs`, materialize.py:74) unless the data
+    was already standardized at conversion time; pass None to disable.
+    `goal_relabeling_strategy="uniform"` attaches a uniformly-sampled future
+    frame as the goal (reference datasets.py:143 + goal_relabeling.py) — the
+    goal image stays JPEG-encoded in the task dict (the OFT objectives never
+    decode it; decoding 1 extra frame/step would only burn host cycles).
+    `task_augment_prob` > 0 enables image-or-language modality dropout
+    (reference task_augmentation.py), applied to goal-relabeled frames.
+    """
+    ds, stats = _build_encoded_frame_dataset(
+        root, name, platform, train=train, seed=seed,
+        standardize_fn=standardize_fn, num_images=num_images,
+        goal_relabeling_strategy=goal_relabeling_strategy)
+    if train:
+        ds = ds.shuffle(shuffle_buffer_size, seed=seed)
+    ds = _decode_and_augment(ds, image_aug, train, task_augment_prob)
+    return _wrap_frame_iterator(ds, batch_transform), {name: stats}
 
 
 def make_interleaved_iterator(
@@ -477,22 +517,65 @@ def make_interleaved_iterator(
     weights: List[float],
     batch_transform,
     platform: PlatformSpec,
+    shuffle_buffer_size: int = 10_000,
+    image_aug: bool = True,
+    train: bool = True,
+    seed: int = 0,
+    balance_weights: bool = False,
     **kwargs,
 ) -> Tuple[Iterator[Dict[str, np.ndarray]], Dict]:
-    """Weighted mixture over datasets (reference `make_interleaved_dataset`,
-    rlds/dataset.py:458-589)."""
-    its, all_stats = [], {}
-    for name in names:
-        it, stats = make_rlds_iterator(root, name, batch_transform, platform,
-                                       **kwargs)
-        its.append(it)
-        all_stats.update(stats)
-    w = np.asarray(weights, np.float64)
-    w = w / w.sum()
-    rng = np.random.default_rng(kwargs.get("seed", 0))
+    """Weighted mixture over datasets as ONE tf.data graph (reference
+    `make_interleaved_dataset`, rlds/dataset.py:458-589).
 
-    def mixed():
+    Per-dataset frame graphs feed `tf.data.Dataset.sample_from_datasets`
+    with parallel readers per member, then one shared shuffle buffer over
+    *encoded* frames and one decode/augment stage. `balance_weights`
+    multiplies each weight by the dataset's transition count (reference
+    dataset.py:508-513). Per-dataset thread/read budgeting from the
+    reference (data_utils.py:287-321) is subsumed by tf.data AUTOTUNE.
+
+    Falls back to host-side weighted round-robin over separate graphs when
+    member frame structures differ (e.g. mixing 1- and 2-camera datasets).
+    """
+    tf = _tf()
+    task_augment_prob = kwargs.pop("task_augment_prob", 0.0)
+    builders, all_stats = [], {}
+    for i, name in enumerate(names):
+        ds, stats = _build_encoded_frame_dataset(
+            root, name, platform, train=train, seed=seed + i, **kwargs)
+        builders.append(ds)
+        all_stats[name] = stats
+
+    w = np.asarray(weights, np.float64)
+    if balance_weights:
+        sizes = np.asarray([all_stats[n].get("num_transitions", 1)
+                            for n in names], np.float64)
+        w = w * sizes
+    w = w / w.sum()
+
+    specs = [ds.element_spec for ds in builders]
+    if all(spec == specs[0] for spec in specs[1:]):
+        mixed = tf.data.Dataset.sample_from_datasets(
+            builders, weights=list(w), seed=seed,
+            stop_on_empty_dataset=False)
+        if train:
+            mixed = mixed.shuffle(shuffle_buffer_size, seed=seed)
+        mixed = _decode_and_augment(mixed, image_aug, train,
+                                    task_augment_prob)
+        return _wrap_frame_iterator(mixed, batch_transform), all_stats
+
+    # structure mismatch: decode each member separately, mix on host
+    its = []
+    for ds in builders:
+        if train:
+            ds = ds.shuffle(max(shuffle_buffer_size // len(builders), 1),
+                            seed=seed)
+        ds = _decode_and_augment(ds, image_aug, train, task_augment_prob)
+        its.append(_wrap_frame_iterator(ds, batch_transform))
+    rng = np.random.default_rng(seed)
+
+    def mixed_host():
         while True:
             yield next(its[rng.choice(len(its), p=w)])
 
-    return mixed(), all_stats
+    return mixed_host(), all_stats
