@@ -128,6 +128,15 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
         except (AssertionError, FileNotFoundError):
             pass  # no FiLM checkpoint present; keep loaded/random backbone
 
+    # Serving-path weight fusion (wqkv/gate_up): one matmul + one
+    # quant/dequant epilogue per projection group, numerics-exact
+    # (models/llama.py::fuse_inference_weights). Opt out with fuse_weights
+    # attr for checkpoint-structure round trips.
+    if getattr(cfg, "fuse_weights", True):
+        from openvla_oft_tpu.models.llama import fuse_inference_weights
+
+        params["llm"] = fuse_inference_weights(params["llm"])
+
     # Quantized inference (reference load_in_8bit/4bit via bitsandbytes,
     # openvla_utils.py:282-303 — here the TPU int8 MXU / packed-int4 paths).
     if getattr(cfg, "load_in_8bit", False):

@@ -71,6 +71,35 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(params["embed"]["embedding"], input_ids, axis=0)
 
 
+def fuse_inference_weights(llm_params: Params) -> Params:
+    """Concatenate wq/wk/wv -> wqkv and gate/up -> gate_up on the output dim
+    (leading stacked-layer axis preserved).
+
+    Serving-path optimization for the OFT single-prefill flow: one matmul
+    feeds the MXU a (d, (h+2kv)*hd) tile instead of three smaller ones, and —
+    decisive for int8 — the activation is quantized and dequantized ONCE per
+    projection group. Apply AFTER any LoRA merge (LoRA factors address the
+    unfused names); the KV-cache AR path keeps unfused weights.
+    """
+    layers = llm_params["layers"]
+    attn, mlp = layers["attn"], layers["mlp"]
+    if any("lora" in key for sub in (attn, mlp)
+           for leaf in sub.values() for key in leaf):
+        raise ValueError("fuse_inference_weights after LoRA merge, not before")
+    new_attn = dict(attn)
+    if "wq" in attn and "bias" not in attn["wq"]:
+        new_attn = {"wqkv": {"kernel": jnp.concatenate(
+            [attn["wq"]["kernel"], attn["wk"]["kernel"],
+             attn["wv"]["kernel"]], axis=-1)}, "wo": attn["wo"]}
+    new_mlp = dict(mlp)
+    if "gate" in mlp and "bias" not in mlp["gate"]:
+        new_mlp = {"gate_up": {"kernel": jnp.concatenate(
+            [mlp["gate"]["kernel"], mlp["up"]["kernel"]], axis=-1)},
+            "down": mlp["down"]}
+    return {**llm_params,
+            "layers": {**layers, "attn": new_attn, "mlp": new_mlp}}
+
+
 # === Forward ===
 def _block(
     p: Params,
@@ -89,9 +118,7 @@ def _block(
     h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
-    q = linear(p["attn"]["wq"], xa).reshape(b, s, h, hd)
-    k = linear(p["attn"]["wk"], xa).reshape(b, s, kv, hd)
-    v = linear(p["attn"]["wv"], xa).reshape(b, s, kv, hd)
+    q, k, v = _qkv_proj(p["attn"], cfg, xa)
     q = apply_rope(q, sin, cos)
     k = apply_rope(k, sin, cos)
     o = attention(q, k, v, mask=mask, is_causal=is_causal, use_flash=use_flash,
@@ -100,7 +127,34 @@ def _block(
     x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
 
     xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
-    return x + swiglu(p["mlp"], xm)
+    return x + _mlp(p["mlp"], xm)
+
+
+def _qkv_proj(attn: Params, cfg: LlamaConfig, xa: jnp.ndarray):
+    """q/k/v projections, handling the inference-fused wqkv layout
+    (fuse_inference_weights): ONE matmul and ONE activation-quant/dequant
+    epilogue instead of three."""
+    b, s, _ = xa.shape
+    h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if "wqkv" in attn:
+        qkv = linear(attn["wqkv"], xa)
+        q = qkv[..., :h * hd].reshape(b, s, h, hd)
+        k = qkv[..., h * hd:(h + kv) * hd].reshape(b, s, kv, hd)
+        v = qkv[..., (h + kv) * hd:].reshape(b, s, kv, hd)
+        return q, k, v
+    return (linear(attn["wq"], xa).reshape(b, s, h, hd),
+            linear(attn["wk"], xa).reshape(b, s, kv, hd),
+            linear(attn["wv"], xa).reshape(b, s, kv, hd))
+
+
+def _mlp(mlp: Params, xm: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU MLP, handling the inference-fused gate_up layout."""
+    if "gate_up" in mlp:
+        gu = linear(mlp["gate_up"], xm)
+        inter = gu.shape[-1] // 2
+        return linear(mlp["down"],
+                      jax.nn.silu(gu[..., :inter]) * gu[..., inter:])
+    return swiglu(mlp, xm)
 
 
 def llama_model(
@@ -219,15 +273,13 @@ def llama_prefill(
         x = carry
         p = layer_params
         xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
-        q = linear(p["attn"]["wq"], xa).reshape(b, s, h, hd)
-        k = linear(p["attn"]["wk"], xa).reshape(b, s, kv, hd)
-        v = linear(p["attn"]["wv"], xa).reshape(b, s, kv, hd)
+        q, k, v = _qkv_proj(p["attn"], cfg, xa)
         q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
         o = attention(q, k, v, is_causal=True, key_valid=key_valid)
         x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
         xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
-        return x + swiglu(p["mlp"], xm), (k.astype(cache.k.dtype),
-                                          v.astype(cache.v.dtype))
+        return x + _mlp(p["mlp"], xm), (k.astype(cache.k.dtype),
+                                        v.astype(cache.v.dtype))
 
     x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
     new_cache = KVCache(
@@ -262,16 +314,14 @@ def llama_decode_step(
         x = carry
         p, ck, cv = inputs
         xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
-        q = linear(p["attn"]["wq"], xa).reshape(b, 1, h, hd)
-        k = linear(p["attn"]["wk"], xa).reshape(b, 1, kv, hd)
-        v = linear(p["attn"]["wv"], xa).reshape(b, 1, kv, hd)
+        q, k, v = _qkv_proj(p["attn"], cfg, xa)
         q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache.index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache.index, 0, 0))
         o = attention(q, ck, cv, mask=mask)
         x = x + linear(p["attn"]["wo"], o.reshape(b, 1, h * hd))
         xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
-        return x + swiglu(p["mlp"], xm), (ck, cv)
+        return x + _mlp(p["mlp"], xm), (ck, cv)
 
     x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
     new_cache = KVCache(k=ks, v=vs, index=cache.index + 1, valid=new_valid)

@@ -103,6 +103,46 @@ def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def quantize_tree_lowmem(params: Params, min_dim: int = 1024) -> Params:
+    """Int8-quantize leaf by leaf, DONATING each source kernel.
+
+    The plain `quantize_tree` under jit materializes fp32 intermediates for
+    whole stacked (L, in, out) kernels — on a 16 GB chip the 7B tree cannot
+    coexist with its quantized copy. Here each kernel is quantized as a
+    per-layer `lax.map` (one layer of fp32 transient, ~200 MB) with the
+    source buffer donated, so peak memory is original + one layer.
+
+    CONSUMES `params`: the input tree's quantized kernels are invalidated.
+    """
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def q_stacked(k):
+        return jax.lax.map(quantize_weight, k)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def q_flat(k):
+        return quantize_weight(k)
+
+    def visit(node):
+        if isinstance(node, dict):
+            if "kernel" in node and isinstance(node["kernel"], jnp.ndarray) \
+                    and node["kernel"].ndim >= 2 \
+                    and node["kernel"].dtype != jnp.int8 \
+                    and node["kernel"].shape[-2] >= min_dim:
+                k = node.pop("kernel")
+                q = (q_stacked if k.ndim == 3 else q_flat)(k)
+                node["kernel"] = q["kernel"]
+                node["scale_w"] = q["scale_w"]
+                return node
+            return {key: visit(v) for key, v in node.items()}
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        return node
+
+    return visit(params)
+
+
 def quantize_tree(params: Params, min_dim: int = 1024,
                   bits: int = 8) -> Params:
     """Quantize every 'kernel' leaf whose contraction dim >= min_dim.

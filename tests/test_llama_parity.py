@@ -148,3 +148,54 @@ def test_gqa_mistral_style_matches_hf(rng):
         theirs = hf.model(inputs_embeds=torch.from_numpy(x)).last_hidden_state
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_fused_inference_weights_parity():
+    """wqkv/gate_up serving fusion is numerics-exact vs unfused weights on
+    the full forward, the KV-cache prefill/decode, and under int8 (per-out-
+    channel scales are independent, so fused quantization is bit-identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openvla_oft_tpu.config import TINY_LLAMA
+    from openvla_oft_tpu.models.llama import (
+        KVCache,
+        fuse_inference_weights,
+        init_llama_params,
+        llama_decode_step,
+        llama_model,
+        llama_prefill,
+    )
+    from openvla_oft_tpu.ops.quant import quantize_tree
+
+    p = init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA, dtype=jnp.float32)
+    pf = fuse_inference_weights(p)
+    assert "wqkv" in pf["layers"]["attn"] and "gate_up" in pf["layers"]["mlp"]
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, 10, TINY_LLAMA.hidden_size), jnp.float32)
+    np.testing.assert_allclose(llama_model(p, TINY_LLAMA, x),
+                               llama_model(pf, TINY_LLAMA, x), atol=1e-5)
+
+    cache = KVCache.create(TINY_LLAMA, 2, 16, dtype=jnp.float32)
+    h1, c1 = llama_prefill(p, TINY_LLAMA, x, cache)
+    h2, c2 = llama_prefill(pf, TINY_LLAMA, x, cache)
+    np.testing.assert_allclose(h1, h2, atol=1e-5)
+    tok = jax.random.normal(jax.random.PRNGKey(2),
+                            (2, 1, TINY_LLAMA.hidden_size), jnp.float32)
+    d1, _ = llama_decode_step(p, TINY_LLAMA, tok, c1)
+    d2, _ = llama_decode_step(pf, TINY_LLAMA, tok, c2)
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+    q_un = quantize_tree(p, min_dim=TINY_LLAMA.hidden_size)
+    q_fu = quantize_tree(pf, min_dim=TINY_LLAMA.hidden_size)
+    o_un = np.asarray(llama_model(q_un, TINY_LLAMA, x))
+    o_fu = np.asarray(llama_model(q_fu, TINY_LLAMA, x))
+    np.testing.assert_array_equal(o_un, o_fu)
+
+    # LoRA-injected trees refuse to fuse (merge first)
+    p_lora = {**p, "layers": {**p["layers"], "attn": {
+        **p["layers"]["attn"],
+        "wq": {**p["layers"]["attn"]["wq"],
+               "lora_a": jnp.zeros((1,)), "lora_b": jnp.zeros((1,))}}}}
+    with pytest.raises(ValueError, match="LoRA"):
+        fuse_inference_weights(p_lora)
