@@ -38,10 +38,15 @@ _RULES = [
     (r"projector/fc1/kernel$", ("fsdp", "tp")),
     (r"projector/fc2/kernel$", ("tp", "fsdp")),
     (r"projector/fc3/kernel$", ("fsdp", "tp")),
-    # Action-head trunk (fc_in is llm_dim*action_dim wide).
-    (r"fc_in/kernel$", ("fsdp", "tp")),
-    (r"blocks/\d+/fc/kernel$", ("tp", "fsdp")),
-    (r"fc_out/kernel$", ("tp", None)),
+    # Action-head trunk: <1% of step FLOPs, and ReLU/LayerNorm/residual sit
+    # between its square matmuls, so a Megatron column/row pairing cannot be
+    # sustained — tp-sharding here forced GSPMD into an "involuntary full
+    # rematerialization" reshard of the ReLU cotangent (round-1 dryrun log).
+    # Keep activations batch-sharded; shard the kernels over fsdp only
+    # (ZeRO-style memory scaling, one small all-gather per matmul).
+    (r"fc_in/kernel$", ("fsdp", None)),
+    (r"blocks/\d+/fc/kernel$", ("fsdp", None)),
+    (r"fc_out/kernel$", ("fsdp", None)),
     # LoRA factors follow the base layer's output axis.
     (r"lora/.*/(wq|wk|wv|gate|up|fc1|qkv)/a$", ("fsdp", None)),
     (r"lora/.*/(wq|wk|wv|gate|up|fc1|qkv)/b$", (None, "tp")),
