@@ -269,7 +269,24 @@ class OpenVLAConfig:
     # === HF config.json interop ===
     @classmethod
     def from_hf_config(cls, hf: dict) -> "OpenVLAConfig":
-        """Build from a reference-written `config.json` dict."""
+        """Build from a reference-written `config.json` dict.
+
+        Checkpoints exported by this framework carry self-describing
+        `tpu_vision_configs` / `tpu_llm_config` payloads
+        (utils/hf_import.py::export_openvla_checkpoint); unknown backbone ids
+        are auto-registered from them so a fresh process can load any export
+        without pre-registering tiny/custom architectures."""
+        vb = hf.get("vision_backbone_id", "dinosiglip-vit-so-224px")
+        lb = hf.get("llm_backbone_id", "llama2-7b-pure")
+        if vb not in _VISION_REGISTRY and "tpu_vision_configs" in hf:
+            _VISION_REGISTRY[vb] = tuple(
+                ViTConfig(**{k: tuple(x) if isinstance(x, list) else x
+                             for k, x in v.items()})
+                for v in hf["tpu_vision_configs"])
+        if lb not in _LLM_REGISTRY and "tpu_llm_config" in hf:
+            _LLM_REGISTRY[lb] = LlamaConfig(
+                **{k: tuple(x) if isinstance(x, list) else x
+                   for k, x in hf["tpu_llm_config"].items()})
         return cls(
             vision_backbone_id=hf.get("vision_backbone_id", "dinosiglip-vit-so-224px"),
             llm_backbone_id=hf.get("llm_backbone_id", "llama2-7b-pure"),

@@ -186,6 +186,8 @@ def export_openvla_checkpoint(cfg: OpenVLAConfig, params: Params, out_dir: str,
 
     save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()},
               os.path.join(out_dir, "model.safetensors"))
+    import dataclasses as _dc
+
     hf_cfg = {
         "model_type": "openvla",
         "vision_backbone_id": cfg.vision_backbone_id,
@@ -196,6 +198,11 @@ def export_openvla_checkpoint(cfg: OpenVLAConfig, params: Params, out_dir: str,
         "pad_to_multiple_of": cfg.pad_to_multiple_of,
         "n_action_bins": cfg.n_action_bins,
         "norm_stats": norm_stats or {},
+        # Self-describing architecture payloads: loading this checkpoint in a
+        # fresh process does not require the backbone ids to be pre-registered
+        # (config.from_hf_config auto-registers from these).
+        "tpu_vision_configs": [_dc.asdict(v) for v in cfg.vision_configs],
+        "tpu_llm_config": _dc.asdict(cfg.llm),
     }
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=2)

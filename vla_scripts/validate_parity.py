@@ -71,6 +71,14 @@ def validate(cfg: ParityConfig) -> bool:
     from experiments.robot.openvla_utils import _try_tokenizer
 
     refs = dict(np.load(cfg.reference_outputs)) if cfg.reference_outputs else {}
+    if "pixels_channel_stacked" in refs and "pixels" not in refs:
+        # record_reference_outputs.py dumps the reference's (1, 6N, H, W)
+        # channel-stacked layout; convert to ours for comparison.
+        from openvla_oft_tpu.processing.processor import from_channel_stacked
+
+        refs["pixels"] = from_channel_stacked(
+            refs.pop("pixels_channel_stacked"),
+            cfg.num_images_in_input)[0]
     obs = load_observation(cfg.observation)
     task = obs.pop("task_description")
     platform = detect_robot_platform(cfg.checkpoint + " " + (cfg.unnorm_key or ""))
