@@ -104,6 +104,13 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
             with_lm_head=(head == "discrete"))
         norm_stats = None
     else:
+        if not os.path.isdir(ckpt):
+            # Hub-id checkpoint (reference model_is_on_hf_hub +
+            # from_pretrained download, openvla_utils.py:270-303): resolve
+            # through the registry's snapshot-download hook.
+            from openvla_oft_tpu.models.registry import _resolve_checkpoint_dir
+
+            ckpt = _resolve_checkpoint_dir(ckpt, None)
         model_cfg, params, norm_stats = load_openvla_checkpoint(
             ckpt, dtype=jnp.bfloat16)
         import dataclasses

@@ -69,6 +69,27 @@ def get_model_description(model_id: str) -> str:
     return MODEL_REGISTRY[model_id].description
 
 
+def _hub_download(repo_id: str, cache_dir: Optional[str]) -> Optional[str]:
+    """HF-hub snapshot download hook (reference `openvla_utils.py:270-303` /
+    `models/load.py:52-226` pull checkpoints from the hub).
+
+    Returns the local snapshot dir, or None when the hub is unreachable /
+    huggingface_hub is unavailable / downloads are disabled
+    (OPENVLA_OFFLINE=1) — callers fall back to the local-dir error. Exercised
+    in tests via a stubbed `huggingface_hub`; works unmodified the moment
+    egress exists."""
+    if os.environ.get("OPENVLA_OFFLINE") == "1":
+        return None
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError:
+        return None
+    try:
+        return snapshot_download(repo_id=repo_id, cache_dir=cache_dir)
+    except Exception:
+        return None
+
+
 def _resolve_checkpoint_dir(model_id_or_path: str,
                             cache_dir: Optional[str]) -> str:
     if os.path.isdir(model_id_or_path):
@@ -78,11 +99,20 @@ def _resolve_checkpoint_dir(model_id_or_path: str,
         if os.path.isdir(candidate):
             return candidate
     entry = MODEL_REGISTRY.get(model_id_or_path)
+    # Hub hook: a registered id resolves through its hub repo; a bare
+    # "org/name" string is treated as a repo id directly.
+    repo = entry.hub_repo if entry else (
+        model_id_or_path if model_id_or_path.count("/") == 1
+        and not model_id_or_path.startswith((".", "/")) else None)
+    if repo:
+        local = _hub_download(repo, cache_dir)
+        if local:
+            return local
     hint = f" (hub repo: {entry.hub_repo})" if entry else ""
     raise FileNotFoundError(
-        f"Checkpoint for {model_id_or_path!r} not found locally{hint}. "
-        f"This build has zero egress — download the checkpoint out-of-band "
-        f"and pass its directory (or set cache_dir).")
+        f"Checkpoint for {model_id_or_path!r} not found locally{hint} and "
+        f"the HF hub is unreachable from this build — download the "
+        f"checkpoint out-of-band and pass its directory (or set cache_dir).")
 
 
 def load(model_id_or_path: str, cache_dir: Optional[str] = None,

@@ -58,6 +58,47 @@ def test_model_registry():
         load("openvla-7b")  # zero egress, no local cache
 
 
+def test_hub_download_hook(tmp_path, monkeypatch):
+    """_resolve_checkpoint_dir pulls through huggingface_hub.snapshot_download
+    when available (reference openvla_utils.py:270-303 hub path); registered
+    ids resolve via their hub repo, bare org/name strings pass through, and
+    OPENVLA_OFFLINE=1 disables the hook."""
+    import sys
+    import types
+
+    from openvla_oft_tpu.models import registry
+
+    calls = []
+    fake = types.ModuleType("huggingface_hub")
+
+    def snapshot_download(repo_id, cache_dir=None):
+        calls.append(repo_id)
+        d = tmp_path / repo_id.replace("/", "__")
+        d.mkdir(exist_ok=True)
+        return str(d)
+
+    fake.snapshot_download = snapshot_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+    monkeypatch.delenv("OPENVLA_OFFLINE", raising=False)
+
+    # registered model id -> its hub repo
+    out = registry._resolve_checkpoint_dir("openvla-7b", None)
+    assert calls == ["openvla/openvla-7b"] and out.endswith("openvla__openvla-7b")
+    # bare repo id passes through verbatim
+    registry._resolve_checkpoint_dir("moojink/some-ckpt", None)
+    assert calls[-1] == "moojink/some-ckpt"
+    # offline switch disables the hook
+    monkeypatch.setenv("OPENVLA_OFFLINE", "1")
+    with pytest.raises(FileNotFoundError):
+        registry._resolve_checkpoint_dir("openvla-7b", None)
+    # non-repo-looking strings never hit the hub
+    calls.clear()
+    monkeypatch.delenv("OPENVLA_OFFLINE")
+    with pytest.raises(FileNotFoundError):
+        registry._resolve_checkpoint_dir("/no/such/dir", None)
+    assert calls == []
+
+
 def test_prompt_builders():
     from openvla_oft_tpu.processing.prompting import (
         PurePromptBuilder, get_prompt_builder)
