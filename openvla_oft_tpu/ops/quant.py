@@ -33,20 +33,62 @@ def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"kernel": q.astype(jnp.int8), "scale_w": scale[..., 0, :]}
 
 
-def int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Dynamic per-token activation quant + int8 MXU matmul + fused dequant.
-
-    Supports stacked kernels (L, in, out) with scale_w (L, out).
-    """
+@jax.custom_vjp
+def _int8_matmul(x: jnp.ndarray, kernel: jnp.ndarray,
+                 scale_w: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through int8 matmul: int8 MXU forward; backward differentiates
+    through the *dequantized* weight (QLoRA-style), so activation gradients
+    flow through int8-frozen layers instead of hitting round()'s zero
+    derivative. This is what makes single-chip 7B LoRA training fit in 16 GB
+    (int8 base ~7.5 GB vs bf16 ~15 GB) while keeping useful gradients."""
     xf = x.astype(jnp.float32)
     sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0   # (..., T, 1)
     qx = jnp.clip(jnp.round(xf / jnp.maximum(sx, 1e-12)), -127, 127
                   ).astype(jnp.int8)
     acc = jax.lax.dot_general(
-        qx, p["kernel"],
-        dimension_numbers=(((qx.ndim - 1,), (p["kernel"].ndim - 2,)), ((), ())),
+        qx, kernel,
+        dimension_numbers=(((qx.ndim - 1,), (kernel.ndim - 2,)), ((), ())),
         preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * sx * p["scale_w"].astype(jnp.float32)
+    return acc.astype(jnp.float32) * sx * scale_w.astype(jnp.float32)
+
+
+def _int8_matmul_fwd(x, kernel, scale_w):
+    # residuals must be jax types: carry x's dtype as a 0-size array
+    return (_int8_matmul(x, kernel, scale_w),
+            (kernel, scale_w, jnp.zeros((0,), x.dtype)))
+
+
+def _int8_matmul_bwd(res, g):
+    kernel, scale_w, x_proto = res
+    x_dtype = x_proto.dtype
+    # One layer's dequantized weight as a bf16 transient (90 MB on the 7B
+    # MLP) — never the whole stacked tree. bf16 backward matmul with fp32
+    # accumulation matches torch-autocast backward semantics.
+    wdeq = kernel.astype(jnp.bfloat16) * scale_w[..., None, :].astype(jnp.bfloat16)
+    gx = jax.lax.dot_general(
+        g.astype(jnp.bfloat16), wdeq,
+        dimension_numbers=(((g.ndim - 1,), (wdeq.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_dtype)
+    # Frozen-base training: no weight/scale gradients (int kernels take
+    # float0 cotangents; scale_w gets symbolic zeros).
+    import numpy as _np
+
+    return (gx,
+            _np.zeros(kernel.shape, jax.dtypes.float0),
+            jnp.zeros_like(scale_w))
+
+
+_int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+def int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic per-token activation quant + int8 MXU matmul + fused dequant.
+
+    Supports stacked kernels (L, in, out) with scale_w (L, out).
+    Differentiable wrt x (straight-through, see _int8_matmul) — the QLoRA
+    training path backprops through int8-frozen bases.
+    """
+    y = _int8_matmul(x, p["kernel"], p["scale_w"])
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)

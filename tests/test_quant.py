@@ -153,3 +153,69 @@ def test_quantize_tree_int4_end_to_end(rng):
     # this asserts the plumbing works and stays roughly on-manifold. True
     # accuracy validation needs real trained weights (docs/ROADMAP.md).
     assert rel < 0.5, rel
+
+
+def test_int8_straight_through_gradients():
+    """QLoRA path: gradients must FLOW through int8-frozen layers (naive
+    round() has zero derivative everywhere).
+
+    Contract 1 — the straight-through backward of a single int8 linear equals
+    the gradient through the dequantized weight: near-identical direction to
+    the unquantized layer's gradient (per-layer quant error is ~1%%).
+    Contract 2 — end-to-end through a 2-layer int8 llama, LoRA gradients are
+    finite, nonzero, and magnitude-matched to the bf16-base gradients (their
+    *direction* on a random tiny model is dominated by high-order terms the
+    quant noise perturbs; direction fidelity is a real-weights property, see
+    docs/QUANTIZATION.md)."""
+    import jax
+
+    from openvla_oft_tpu.config import TINY_LLAMA
+    from openvla_oft_tpu.models.llama import init_llama_params, llama_model
+    from openvla_oft_tpu.ops.quant import quantize_tree, quantize_weight
+    from openvla_oft_tpu.training.lora import init_lora, inject_lora
+
+    # --- contract 1: single-layer STE backward
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    w = jax.random.normal(k1, (64, 32), jnp.float32) / 8
+    x = jax.random.normal(k2, (4, 64), jnp.float32)
+    c = jax.random.normal(k3, (4, 32), jnp.float32)
+    from openvla_oft_tpu.ops.layers import linear
+
+    def loss_q(x):
+        return jnp.sum(linear(quantize_weight(w), x) * c)
+
+    def loss_fp(x):
+        return jnp.sum(linear({"kernel": w}, x) * c)
+
+    gq, gfp = jax.grad(loss_q)(x), jax.grad(loss_fp)(x)
+    cos = float(jnp.sum(gq * gfp) /
+                (jnp.linalg.norm(gq) * jnp.linalg.norm(gfp) + 1e-12))
+    assert cos > 0.999, cos
+
+    # --- contract 2: end-to-end flow through int8 llama with LoRA
+    base = {"llm": init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA,
+                                     dtype=jnp.float32)}
+    lora = init_lora(jax.random.PRNGKey(1), base, rank=4)
+    lora = jax.tree_util.tree_map(
+        lambda a: a + 0.01 if a.ndim >= 2 else a, lora)
+    xs = jax.random.normal(jax.random.PRNGKey(2),
+                           (2, 10, TINY_LLAMA.hidden_size), jnp.float32)
+
+    def loss(lora_tree, base_tree):
+        p = inject_lora(base_tree, lora_tree, rank=4, alpha=4.0)
+        return jnp.mean(jnp.square(llama_model(p["llm"], TINY_LLAMA, xs)))
+
+    g_fp = jax.grad(loss)(lora, base)
+    qbase = {"llm": quantize_tree(base["llm"],
+                                  min_dim=TINY_LLAMA.hidden_size)}
+    g_q = jax.grad(loss)(lora, qbase)
+
+    for (path, v_fp), (_, v_q) in zip(
+            jax.tree_util.tree_leaves_with_path(g_fp),
+            jax.tree_util.tree_leaves_with_path(g_q)):
+        key = jax.tree_util.keystr(path)
+        fp, q = np.asarray(v_fp), np.asarray(v_q)
+        assert np.isfinite(q).all(), key
+        assert np.abs(q).max() > 0, f"zero int8-path gradient at {key}"
+        ratio = np.linalg.norm(q) / (np.linalg.norm(fp) + 1e-12)
+        assert 0.5 < ratio < 2.0, f"{key}: |q|/|fp|={ratio:.3f}"

@@ -90,6 +90,10 @@ class FinetuneConfig:
     robot_platform: Optional[str] = None          # default: sniff dataset_name
     seq_bucket: int = 0                           # 0 = auto (pad to multiple of 8)
     use_flash_attention: bool = False
+    quantize_base: bool = False                   # QLoRA-style int8 frozen base
+                                                  # (fits 7B LoRA on one 16 GB chip;
+                                                  # straight-through bwd, ops/quant.py)
+    quantize_base_min_dim: int = 1024             # smallest contraction dim quantized
     # fmt: on
 
 
@@ -202,6 +206,16 @@ def finetune(cfg: FinetuneConfig) -> dict:
     if cfg.use_lora:
         trainables["lora"] = init_lora(jax.random.PRNGKey(1), base,
                                        rank=cfg.lora_rank)
+    if cfg.quantize_base:
+        # QLoRA on TPU: int8 frozen base (per-out-channel symmetric), fp32
+        # LoRA on top; backward is straight-through (ops/quant.py
+        # _int8_matmul). Kernels are donated so the bf16 and int8 trees never
+        # coexist in HBM.
+        from openvla_oft_tpu.ops.quant import quantize_tree_lowmem
+
+        for k in ("llm", "vision_backbone", "projector"):
+            base[k] = quantize_tree_lowmem(base[k],
+                                           min_dim=cfg.quantize_base_min_dim)
     for k in ("action_head", "proprio_projector", "noisy_action_projector",
               "film"):
         if k in full and (k != "proprio_projector" or cfg.use_proprio):
