@@ -9,8 +9,13 @@ Baseline: the OpenVLA-OFT paper reports ~0.109 s per 8-action chunk on an
 NVIDIA A100 (arXiv 2502.19645; the repo stores no numbers — BASELINE.md).
 vs_baseline = baseline_latency / our_latency (>1 means faster than A100).
 
-Prints ONE JSON line (bf16, numerics-parity path) to stdout; the int8
-quantized path (reference `load_in_8bit` analog) reports on stderr.
+Prints ONE JSON line to stdout for the PERFORMANCE serving configuration:
+int8 weights + dynamic per-token activations on the MXU, with fused
+wqkv/gate_up projections. The accuracy evidence for serving int8 (stage-wise
+drift + end-to-end action-L1 deltas vs the discrete-bin and train-loss
+floors, plus the real-weights re-check runbook) is docs/QUANTIZATION.md; the
+bf16 numerics-parity path is measured every run and reported on stderr
+(OPENVLA_BENCH_BF16=1 makes it the headline instead).
 
 Timing method: the axon tunnel's `block_until_ready` is a no-op and each
 host sync costs ~26 ms RTT, so we queue K executions behind one final host
@@ -68,25 +73,30 @@ def main():
 
     os.environ.pop("OPENVLA_QUANT", None)
     bf16_lat, rtt = _measure(entry)
+    print(f"# bf16: {bf16_lat*1e3:.1f}ms {1/bf16_lat:.1f} chunks/s/chip "
+          f"vs_baseline={A100_CHUNK_LATENCY_S/bf16_lat:.2f} "
+          f"rtt={rtt*1e3:.1f}ms device={jax.devices()[0]}", file=sys.stderr)
+
+    headline = bf16_lat
+    if os.environ.get("OPENVLA_BENCH_BF16") != "1":
+        try:
+            os.environ["OPENVLA_QUANT"] = "int8"
+            int8_lat, _ = _measure(entry)
+            print(f"# int8: {int8_lat*1e3:.1f}ms {1/int8_lat:.1f} "
+                  f"chunks/s/chip "
+                  f"vs_baseline={A100_CHUNK_LATENCY_S/int8_lat:.2f}",
+                  file=sys.stderr)
+            headline = int8_lat
+        except Exception as e:  # fall back to the bf16 headline
+            print(f"# int8 measurement failed, bf16 headline: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "action_chunk_latency",
-        "value": round(bf16_lat, 5),
+        "value": round(headline, 5),
         "unit": "s",
-        "vs_baseline": round(A100_CHUNK_LATENCY_S / bf16_lat, 3),
+        "vs_baseline": round(A100_CHUNK_LATENCY_S / headline, 3),
     }))
-    print(f"# bf16: {bf16_lat*1e3:.1f}ms {1/bf16_lat:.1f} chunks/s/chip "
-          f"rtt={rtt*1e3:.1f}ms device={jax.devices()[0]}", file=sys.stderr)
-
-    try:
-        os.environ["OPENVLA_QUANT"] = "int8"
-        int8_lat, _ = _measure(entry)
-        print(f"# int8: {int8_lat*1e3:.1f}ms {1/int8_lat:.1f} chunks/s/chip "
-              f"vs_baseline={A100_CHUNK_LATENCY_S/int8_lat:.2f}",
-              file=sys.stderr)
-    except Exception as e:  # int8 is auxiliary; never fail the headline
-        print(f"# int8 measurement skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
 
 
 if __name__ == "__main__":
