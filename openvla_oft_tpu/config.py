@@ -70,9 +70,14 @@ class ViTConfig:
 
 
 # SigLIP so400m/14 @ 224 (timm `vit_so400m_patch14_siglip_224`).
+# act: timm's siglip entries use tanh-approximate GELU (mirroring big_vision,
+# whose jax.nn.gelu defaults to approximate=True; HF SiglipVisionConfig's
+# default is likewise "gelu_pytorch_tanh"), and the reference's
+# timm_override_act_layers is None for dinosiglip
+# (configuration_prismatic.py:39-45) — so the timm default applies.
 SIGLIP_SO400M_224 = ViTConfig(
     width=1152, depth=27, num_heads=16, mlp_dim=4304,
-    mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+    mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5), act="gelu_tanh",
 )
 
 # DINOv2 ViT-L/14 reg4 (timm `vit_large_patch14_reg4_dinov2.lvd142m`), run at 224.
@@ -308,7 +313,7 @@ class OpenVLAConfig:
 # Tiny configs for tests: keep every contract (dual backbone, reg tokens,
 # LayerScale, GQA-free Llama) at toy sizes so CPU tests are fast.
 TINY_SIGLIP = ViTConfig(width=32, depth=3, num_heads=4, mlp_dim=64, patch_size=14,
-                        image_size=28)
+                        image_size=28, act="gelu_tanh")
 TINY_DINOV2 = ViTConfig(width=48, depth=3, num_heads=4, mlp_dim=96, patch_size=14,
                         image_size=28, num_cls_tokens=1, num_reg_tokens=4,
                         use_layer_scale=True, pos_embed_patches_only=True,

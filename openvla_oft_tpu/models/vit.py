@@ -138,7 +138,9 @@ def _vit_block(
     if cfg.act == "quick_gelu":
         act = quick_gelu
     elif cfg.act == "gelu_tanh":
-        act = lambda v: jax.nn.gelu(v, approximate=True)  # noqa: E731
+        from openvla_oft_tpu.ops.layers import gelu_tanh
+
+        act = gelu_tanh
     else:
         act = gelu
     m = linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], xm)))

@@ -85,8 +85,16 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
-    """Tanh-approximated GELU (HF `gelu_new`; Phi-2 MLP activation)."""
-    return jax.nn.gelu(x, approximate=True)
+    """Tanh-approximated GELU (HF `gelu_new`/`gelu_pytorch_tanh`; SigLIP and
+    Phi-2 MLP activation).
+
+    tanh is evaluated as 1 - 2/(e^{2z}+1): XLA's tanh is a rational
+    approximation with ~5e-5 absolute error near |z|≈2 (measured), which
+    breaks fp32 parity tests against torch at 27-layer depth; the exp form
+    matches torch/libm to <1e-6 at the same cost (one transcendental)."""
+    z = 0.7978845608028654 * (x + 0.044715 * x * x * x)  # sqrt(2/pi)
+    t = 1.0 - 2.0 / (jnp.exp(2.0 * z) + 1.0)
+    return 0.5 * x * (1.0 + t)
 
 
 def mlp_gelu(p: Params, x: jnp.ndarray) -> jnp.ndarray:

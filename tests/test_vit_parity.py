@@ -19,7 +19,7 @@ from openvla_oft_tpu.config import ViTConfig
 from openvla_oft_tpu.models.vit import init_vit_params, vit_featurize
 
 TINY_SIGLIP = ViTConfig(width=32, depth=4, num_heads=4, mlp_dim=64,
-                        patch_size=8, image_size=32)
+                        patch_size=8, image_size=32, act="gelu_tanh")
 TINY_DINO = ViTConfig(width=32, depth=4, num_heads=4, mlp_dim=128,
                       patch_size=8, image_size=32, num_cls_tokens=1,
                       num_reg_tokens=4, use_layer_scale=True,
@@ -90,7 +90,9 @@ def test_siglip_parity(rng):
         hidden_size=cfg.width, intermediate_size=cfg.mlp_dim,
         num_hidden_layers=cfg.depth, num_attention_heads=cfg.num_heads,
         image_size=cfg.image_size, patch_size=cfg.patch_size,
-        hidden_act="gelu", attn_implementation="eager")
+        # HF SigLIP's default (and big_vision's): tanh-approximate GELU —
+        # must match ViTConfig.act="gelu_tanh" on our side.
+        hidden_act="gelu_pytorch_tanh", attn_implementation="eager")
     model = SiglipVisionModel(hf_cfg).eval()
     vm = model.vision_model
     _set(vm.embeddings.patch_embedding.weight,
