@@ -159,3 +159,99 @@ def test_get_vla_quantized_flags(exported_ckpt, rng):
     assert q["layers"]["attn"]["wq"]["kernel"].dtype == jnp.int8
     q4 = quantize_tree(vla8.params["llm"], min_dim=32, bits=4)
     assert "kernel_q4" in q4["layers"]["attn"]["wq"]
+
+
+def test_libero_noop_filter():
+    """is_noop semantics (reference regenerate_libero_dataset.py:46-69):
+    near-zero pose delta + unchanged gripper = no-op; gripper toggles while
+    still are KEPT; first action uses the pose criterion only."""
+    from experiments.robot.libero.regenerate_libero_dataset import (
+        filter_noop_actions, is_noop)
+
+    still_open = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    still_close = np.array([0, 0, 0, 0, 0, 0, -1.0])
+    move = np.array([0.1, 0, 0, 0, 0, 0, 1.0])
+
+    assert is_noop(still_open)                        # first step, no motion
+    assert not is_noop(move)
+    assert is_noop(still_open, prev_action=still_open)
+    # gripper toggle while still is NOT a no-op
+    assert not is_noop(still_close, prev_action=still_open)
+
+    acts = np.stack([move, still_open, still_close, still_close, move])
+    kept = filter_noop_actions(acts)
+    # index1 dropped (no motion, same gripper as move's +1); index2 kept
+    # (gripper flips); index3 dropped (same gripper as kept index2)
+    assert kept == [0, 2, 4]
+
+
+def test_libero_replay_episode_bookkeeping():
+    """replay_episode drops no-ops, threads env state, and only returns a
+    record when the episode ends in success."""
+    from experiments.robot.libero.regenerate_libero_dataset import (
+        replay_episode)
+
+    class FakeSim:
+        def get_state(self):
+            return np.arange(4.0)
+
+    class FakeEnv:
+        def __init__(self, succeed):
+            self.sim = FakeSim()
+            self._succeed = succeed
+            self.steps = 0
+
+        def reset(self):
+            pass
+
+        def set_init_state(self, s):
+            pass
+
+        def step(self, action):
+            self.steps += 1
+            obs = {
+                "robot0_gripper_qpos": np.zeros(2),
+                "robot0_eef_pos": np.zeros(3),
+                "robot0_eef_quat": np.array([0, 0, 0, 1.0]),
+                "robot0_joint_pos": np.zeros(7),
+                "agentview_image": np.zeros((4, 4, 3), np.uint8),
+                "eye_in_hand_image": np.zeros((4, 4, 3), np.uint8),
+                "robot0_eye_in_hand_image": np.zeros((4, 4, 3), np.uint8),
+            }
+            return obs, 0.0, self._succeed, {}
+
+    move = np.array([0.1, 0, 0, 0, 0, 0, 1.0])
+    noop = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    demo = {
+        "actions": {(): np.stack([move, noop, move])},
+        "states": {(): np.zeros((3, 4))},
+        "robot_states": np.zeros((3, 9)),
+    }
+
+    class H5Like(dict):
+        def __getitem__(self, k):
+            v = dict.__getitem__(self, k)
+
+            class D:
+                def __init__(self, val):
+                    self._v = val
+
+                def __getitem__(self, idx):
+                    if idx == ():
+                        return self._v[()]
+                    return self._v[idx] if not isinstance(self._v, dict) \
+                        else self._v[()][idx]
+
+            return D(v) if isinstance(v, dict) else v
+
+    rec = replay_episode(FakeEnv(succeed=True), H5Like(demo),
+                         dummy_action=[0] * 7,
+                         quat2axisangle=lambda q: np.zeros(3))
+    assert rec is not None
+    assert len(rec["actions"]) == 2          # the noop was dropped
+    assert rec["dones"][-1] == 1 and rec["rewards"][-1] == 1
+
+    rec = replay_episode(FakeEnv(succeed=False), H5Like(demo),
+                         dummy_action=[0] * 7,
+                         quat2axisangle=lambda q: np.zeros(3))
+    assert rec is None                       # unsuccessful replays dropped
