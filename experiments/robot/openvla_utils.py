@@ -146,10 +146,15 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
 
     # Quantized inference (reference load_in_8bit/4bit via bitsandbytes,
     # openvla_utils.py:282-303 — here the TPU int8 MXU / packed-int4 paths).
+    # int8 quantizes leaf-by-leaf with DONATED source kernels
+    # (quantize_tree_lowmem): a real 7B's bf16 tree (~15 GB) and its int8
+    # copy cannot coexist in 16 GB HBM — plain quantize_tree would OOM here.
     if getattr(cfg, "load_in_8bit", False):
-        from openvla_oft_tpu.ops.quant import quantize_tree
+        from openvla_oft_tpu.ops.quant import quantize_tree_lowmem
 
-        params["llm"] = quantize_tree(params["llm"], min_dim=1024, bits=8)
+        for mod in ("llm", "vision_backbone", "projector"):
+            if mod in params:
+                params[mod] = quantize_tree_lowmem(params[mod], min_dim=1024)
     elif getattr(cfg, "load_in_4bit", False):
         from openvla_oft_tpu.ops.quant import quantize_tree
 

@@ -151,14 +151,15 @@ def test_get_vla_quantized_flags(exported_ckpt, rng):
     cfg = _eval_cfg(exported_ckpt)
     cfg.load_in_8bit = True
     vla8 = get_vla(cfg)
+    # get_vla fuses wq/wk/wv -> wqkv at load (fuse_inference_weights) and
     # tiny dims < 1024 min_dim -> nothing quantized, but the path must run;
     # force a lower threshold scenario via direct call instead
     from openvla_oft_tpu.ops.quant import quantize_tree
 
     q = quantize_tree(vla8.params["llm"], min_dim=32, bits=8)
-    assert q["layers"]["attn"]["wq"]["kernel"].dtype == jnp.int8
+    assert q["layers"]["attn"]["wqkv"]["kernel"].dtype == jnp.int8
     q4 = quantize_tree(vla8.params["llm"], min_dim=32, bits=4)
-    assert "kernel_q4" in q4["layers"]["attn"]["wq"]
+    assert "kernel_q4" in q4["layers"]["attn"]["wqkv"]
 
 
 def test_libero_noop_filter():
