@@ -65,7 +65,13 @@ def save_rollout_video(images, idx: int, success: bool, task_description: str,
     try:
         import imageio
 
-        with imageio.get_writer(path, fps=25) as w:
+        try:
+            w = imageio.get_writer(path, fps=25)
+        except Exception:
+            # no ffmpeg backend — pure-python GIF fallback
+            path = path[:-4] + ".gif"
+            w = imageio.get_writer(path, duration=40)
+        with w:
             for img in images:
                 w.append_data(np.asarray(img))
     except ImportError:

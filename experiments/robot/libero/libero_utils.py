@@ -73,7 +73,13 @@ def save_rollout_video(rollout_images, idx, success, task_description,
     try:
         import imageio
 
-        with imageio.get_writer(path, fps=30) as writer:
+        try:
+            writer = imageio.get_writer(path, fps=30)
+        except Exception:
+            # no ffmpeg backend on this host — pure-python GIF fallback
+            path = path[:-4] + ".gif"
+            writer = imageio.get_writer(path, duration=33)
+        with writer:
             for img in rollout_images:
                 writer.append_data(img)
     except ImportError:

@@ -1,0 +1,117 @@
+"""Hardware-interface modules: pure-logic tests (no ROS / interbotix /
+widowx_envs needed — those import lazily inside constructors)."""
+
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_aloha_modules_import_without_ros():
+    import experiments.robot.aloha.constants  # noqa: F401
+    import experiments.robot.aloha.real_env  # noqa: F401
+    import experiments.robot.aloha.robot_utils  # noqa: F401
+
+
+def test_aloha_gripper_conversions_roundtrip():
+    from experiments.robot.aloha import constants as C
+
+    for x in np.linspace(0, 1, 7):
+        np.testing.assert_allclose(
+            C.puppet_gripper_position_normalize(
+                C.puppet_gripper_position_unnormalize(x)), x, atol=1e-12)
+        np.testing.assert_allclose(
+            C.master_gripper_joint_normalize(
+                C.master_gripper_joint_unnormalize(x)), x, atol=1e-12)
+    # master->puppet maps endpoints to endpoints
+    np.testing.assert_allclose(
+        C.master2puppet_position(C.MASTER_GRIPPER_POSITION_OPEN),
+        C.PUPPET_GRIPPER_POSITION_OPEN, atol=1e-12)
+    np.testing.assert_allclose(
+        C.master2puppet_joint(C.MASTER_GRIPPER_JOINT_CLOSE),
+        C.PUPPET_GRIPPER_JOINT_CLOSE, atol=1e-12)
+    # pos<->joint round trip
+    np.testing.assert_allclose(
+        C.puppet_joint2pos(C.puppet_pos2joint(0.03)), 0.03, atol=1e-12)
+    # reference-style aliases point at the same functions
+    assert C.PUPPET_GRIPPER_POSITION_NORMALIZE_FN is \
+        C.puppet_gripper_position_normalize
+
+
+def test_aloha_interpolation_profile():
+    from experiments.robot.aloha.robot_utils import interpolate_trajectory
+
+    traj = interpolate_trajectory([[0.0, 0.0]], [[1.0, -2.0]], num_steps=5)
+    assert traj.shape == (5, 1, 2)
+    np.testing.assert_allclose(traj[0, 0], [0.0, 0.0])
+    np.testing.assert_allclose(traj[-1, 0], [1.0, -2.0])
+    np.testing.assert_allclose(np.diff(traj[:, 0, 0]), 0.25)
+
+
+def test_aloha_split_action():
+    from experiments.robot.aloha.real_env import split_action
+
+    left, right = split_action(np.arange(14.0))
+    np.testing.assert_array_equal(left, np.arange(7.0))
+    np.testing.assert_array_equal(right, np.arange(7.0, 14.0))
+
+
+def test_bridge_obs_conversions():
+    from experiments.robot.bridge.widowx_env import (
+        START_ROTATION, convert_obs, null_obs, start_transform)
+
+    im = 8
+    raw = {
+        "image": (np.arange(3 * im * im, dtype=np.float64)
+                  .reshape(3, im, im) / (3 * im * im)),
+        "full_image": np.zeros((480, 640, 3), np.uint8),
+        "state": np.arange(7, dtype=np.float64),
+    }
+    obs = convert_obs(raw, im)
+    assert obs["image_primary"].shape == (im, im, 3)
+    assert obs["image_primary"].dtype == np.uint8
+    # proprio padded to 8-D: first 6 state dims, zero pad, gripper last
+    np.testing.assert_array_equal(obs["proprio"],
+                                  [0, 1, 2, 3, 4, 5, 0, 6])
+    nu = null_obs(im)
+    assert nu["image_primary"].shape == (im, im, 3)
+    assert nu["proprio"].shape == (8,)
+
+    t = start_transform([0.1, 0.2, 0.3])
+    assert t.shape == (4, 4)
+    np.testing.assert_allclose(t[:3, 3], [0.1, 0.2, 0.3])
+    np.testing.assert_allclose(t[:3, :3], START_ROTATION)
+    np.testing.assert_allclose(t[3], [0, 0, 0, 1])
+    # rotation block is orthonormal-ish (reference values are rounded)
+    np.testing.assert_allclose(START_ROTATION @ START_ROTATION.T, np.eye(3),
+                               atol=2e-3)
+
+
+def test_bridge_state_to_eep():
+    pytest.importorskip("pyquaternion")
+    from experiments.robot.bridge.widowx_env import state_to_eep
+
+    pose = state_to_eep([0.3, 0.0, 0.15], 0.0)
+    assert pose.shape == (4, 4)
+    np.testing.assert_allclose(pose[:3, 3], [0.3, 0.0, 0.15])
+    np.testing.assert_allclose(pose[:3, :3] @ pose[:3, :3].T, np.eye(3),
+                               atol=1e-9)
+
+
+def test_robosuite_create_video(tmp_path):
+    from experiments.robot.robosuite.create_video import render_rollout
+
+    traj = [{"obs": {"task_description": "pick the red block",
+                     "camera_front_image":
+                         np.random.default_rng(0).integers(
+                             0, 255, (64, 80, 3)).astype(np.uint8)}}
+            for _ in range(4)]
+    pkl_path = tmp_path / "traj000.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump(traj, f)
+    out = render_rollout(str(pkl_path), str(tmp_path))
+    assert Path(out).exists() and Path(out).stat().st_size > 0
