@@ -57,17 +57,23 @@ def wait_for_obs(widowx_client):
 
 def convert_obs(obs: Dict, im_size: int) -> Dict:
     """Raw controller obs -> policy obs: CHW float image back to HWC uint8,
-    proprio padded to the 8-D RLDS layout (xyz+rpy, pad, gripper)."""
+    proprio as the 7-D bridge layout (xyz+rpy, gripper).
+
+    Documented divergence: the reference's widowx_env.py:46 pads to Octo's
+    8-D layout ("to match RLDS training") while its OWN bridge RLDS config
+    (`state_obs_keys=["EEF_state","gripper_state"]`) and BRIDGE_CONSTANTS
+    PROPRIO_DIM are 7 — proprio-conditioned bridge eval would break upstream.
+    Here everything agrees on 7 (constants.BRIDGE, oxe configs, this env)."""
     image_obs = (obs["image"].reshape(3, im_size, im_size).transpose(1, 2, 0)
                  * 255).astype(np.uint8)
-    proprio = np.concatenate([obs["state"][:6], [0], obs["state"][-1:]])
+    proprio = np.concatenate([obs["state"][:6], obs["state"][-1:]])
     return {"image_primary": image_obs, "full_image": obs["full_image"],
             "proprio": proprio}
 
 
 def null_obs(img_size: int) -> Dict:
     return {"image_primary": np.zeros((img_size, img_size, 3), np.uint8),
-            "proprio": np.zeros((8,), np.float64)}
+            "proprio": np.zeros((7,), np.float64)}
 
 
 class WidowXGym:

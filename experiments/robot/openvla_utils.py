@@ -193,11 +193,21 @@ def _try_tokenizer(ckpt: str):
         f"stand-in (tests/benchmarks only).")
 
 
+def _resolve_local_ckpt(ckpt: str) -> str:
+    """Resolve hub-id checkpoint strings to their downloaded snapshot dir
+    (same hook get_vla uses); local dirs and random: sentinels pass through."""
+    if ckpt.startswith("random:") or os.path.isdir(ckpt):
+        return ckpt
+    from openvla_oft_tpu.models.registry import _resolve_checkpoint_dir
+
+    return _resolve_checkpoint_dir(ckpt, None)
+
+
 def get_processor(cfg: Any) -> PrismaticProcessor:
     """Reference openvla_utils.py:380-390."""
     from openvla_oft_tpu.config import OpenVLAConfig
 
-    ckpt = str(cfg.pretrained_checkpoint)
+    ckpt = _resolve_local_ckpt(str(cfg.pretrained_checkpoint))
     if not ckpt.startswith("random:") and os.path.isdir(ckpt):
         model_cfg, _ = OpenVLAConfig.from_json_file(
             os.path.join(ckpt, "config.json"))
@@ -209,7 +219,7 @@ def get_processor(cfg: Any) -> PrismaticProcessor:
 def get_action_head(cfg: Any, llm_dim: int = 4096):
     """Load the L1/diffusion head from the checkpoint dir
     (reference openvla_utils.py:463-513)."""
-    ckpt = str(cfg.pretrained_checkpoint)
+    ckpt = _resolve_local_ckpt(str(cfg.pretrained_checkpoint))
     if getattr(cfg, "use_l1_regression", True):
         path = find_checkpoint_file(ckpt, "action_head")
         return import_action_head_pt(path, head="l1")
@@ -220,15 +230,17 @@ def get_action_head(cfg: Any, llm_dim: int = 4096):
 def get_proprio_projector(cfg: Any, llm_dim: int = 4096,
                           proprio_dim: int = 8):
     """Reference openvla_utils.py:393-434."""
-    path = find_checkpoint_file(str(cfg.pretrained_checkpoint),
-                                "proprio_projector")
+    path = find_checkpoint_file(
+        _resolve_local_ckpt(str(cfg.pretrained_checkpoint)),
+        "proprio_projector")
     return import_projector_pt(path, kind="proprio")
 
 
 def get_noisy_action_projector(cfg: Any, llm_dim: int = 4096):
     """Reference openvla_utils.py:437-460."""
-    path = find_checkpoint_file(str(cfg.pretrained_checkpoint),
-                                "noisy_action_projector")
+    path = find_checkpoint_file(
+        _resolve_local_ckpt(str(cfg.pretrained_checkpoint)),
+        "noisy_action_projector")
     return import_projector_pt(path, kind="noisy_action")
 
 

@@ -62,8 +62,33 @@ def quantize_roundtrip(action: np.ndarray,
         NORMALIZATION_RANGES)
 
 
+def init_env_from_traj(env, traj, task_name: str) -> None:
+    """Place the scene objects where the recorded trajectory had them
+    (reference rollout_trajectory.py:106-129). Without this, a replay starts
+    from a fresh random layout and the recorded actions diverge immediately."""
+    import numpy as np
+
+    if task_name == "pick_place":
+        for obj_name in env.object_to_id:
+            obj = env.objects[env.object_to_id[obj_name]]
+            pos = traj.get(3)["obs"][f"{obj_name}_pos"]
+            quat = traj.get(3)["obs"][f"{obj_name}_quat"]
+            env.sim.data.set_joint_qpos(obj.joints[0],
+                                        np.concatenate([pos, quat]))
+    elif task_name == "nut_assembly":
+        for obj_name in env.env.nut_to_id:
+            obj_id = env.env.nut_to_id[obj_name]
+            obj = env.env.nuts[obj_id]
+            key = "round-nut" if obj_id == 0 else f"round-nut-{obj_id + 1}"
+            pos = traj.get(1)["obs"][f"{key}_pos"]
+            quat = traj.get(1)["obs"][f"{key}_quat"]
+            env.sim.data.set_joint_qpos(obj.joints[0],
+                                        np.concatenate([pos, quat]))
+
+
 def replay_file(path: str, env_fn, controller_config, task_name: str,
-                env_type: str, object_set: int = 2) -> int:
+                env_type: str, object_set: int = 2,
+                init_env_fn=init_env_from_traj) -> int:
     """Replay one traj*.pkl; returns the number of steps executed."""
     with open(path, "rb") as f:
         sample = pickle.load(f)
@@ -80,13 +105,15 @@ def replay_file(path: str, env_fn, controller_config, task_name: str,
             break
         except RandomizationError:
             continue
-    # restore the recorded mujoco state so the replay starts where the
-    # expert did
+    # xml round trip puts the sim in a deterministic restorable state, then
+    # the initializer moves objects to the trajectory's recorded poses
     mj_state = env.sim.get_state().flatten()
     env.reset_from_xml_string(env.model.get_xml())
     env.sim.reset()
     env.sim.set_state_from_flattened(mj_state)
     env.sim.forward()
+    if init_env_fn is not None:
+        init_env_fn(env, traj, task_name)
 
     steps = 0
     for t in range(sample["len"]):

@@ -6,9 +6,14 @@ state/action encodings, and depth keys for every dataset the reference can
 train on — the RT-X core, the magic-soup members, T-DROID, DROID, the LIBERO
 suites, ALOHA fine-tuning sets, and the fork-added UR5e sets.
 
-`state_obs_keys` follows the reference contract (configs.py:17-24): the listed
-observation keys are concatenated into an 8-dim proprio vector per
-StateEncoding, with `None` entries padding a zero column.
+`state_obs_keys` is copied per-entry from the reference (verified 66/66
+identical): the listed observation keys concatenate into the proprio vector,
+with `None` entries padding a zero column. The StateEncoding describes the
+*semantic* layout only — widths vary per entry in the reference itself (e.g.
+bridge POS_EULER entries are 7-D with no pad column, taco_play's is 8-D), so
+do NOT "normalize" entries to a fixed width; mixture members with unequal
+proprio widths cannot share one interleaved proprio stream and should train
+with use_proprio=False or per-dataset projectors.
 """
 
 from __future__ import annotations

@@ -164,8 +164,6 @@ def _standardize_episode_np(ep_np: Dict, name: str,
     transform, and reassembles proprio from the registry's `state_obs_keys`
     (None keys pad a zero column — reference rlds/dataset.py obs remap).
     """
-    from openvla_oft_tpu.data.rlds.oxe import OXE_DATASET_CONFIGS
-
     t = len(ep_np["actions"])
     lang = ep_np["language_instruction"]
     # native episodes store one instruction per episode; transforms expect the
@@ -186,25 +184,12 @@ def _standardize_episode_np(ep_np: Dict, name: str,
     actions = np.asarray(out["action"], np.float32)
     t_out = len(actions)  # transforms may truncate (bridge relabel)
     obs = out["observation"]
-    cfg = OXE_DATASET_CONFIGS.get(name)
-    proprio = None
-    if cfg is not None and cfg.state_obs_keys:
-        cols = []
-        ok = True
-        for key in cfg.state_obs_keys:
-            if key is None:
-                cols.append(np.zeros((t_out, 1), np.float32))
-            elif key in obs:
-                arr = np.asarray(obs[key], np.float32)
-                cols.append(arr[:t_out].reshape(t_out, -1))
-            else:
-                ok = False
-                break
-        if ok:
-            proprio = np.concatenate(cols, axis=1)
+    from openvla_oft_tpu.data.rlds.tfds_format import _assemble_proprio
+
+    proprio = _assemble_proprio(obs, name, t_out)
     if proprio is None:
-        proprio = np.asarray(obs.get("proprio", ep_np["proprio"]),
-                             np.float32)[:t_out]
+        proprio = ep_np["proprio"]
+    proprio = np.asarray(proprio, np.float32)[:t_out]
     out_lang = out.get("language_instruction", lang_steps)
     result = {
         "images": np.asarray(obs["image_primary"])[:t_out],
@@ -279,7 +264,7 @@ def _build_encoded_frame_dataset(
     seed: int = 0,
     standardize_fn="auto",
     num_images: int = 1,
-    goal_relabeling_strategy: Optional[str] = "uniform",
+    goal_relabeling_strategy: Optional[str] = None,
 ):
     """Per-dataset tf.data graph up to (and including) frame chunking, with
     images still JPEG-encoded — the shared building block for the single
@@ -484,7 +469,7 @@ def make_rlds_iterator(
     seed: int = 0,
     standardize_fn="auto",
     num_images: int = 1,
-    goal_relabeling_strategy: Optional[str] = "uniform",
+    goal_relabeling_strategy: Optional[str] = None,
     task_augment_prob: float = 0.0,
 ) -> Tuple[Iterator[Dict[str, np.ndarray]], Dict]:
     """Build the frame iterator + dataset statistics for one dataset.
@@ -496,8 +481,11 @@ def make_rlds_iterator(
     was already standardized at conversion time; pass None to disable.
     `goal_relabeling_strategy="uniform"` attaches a uniformly-sampled future
     frame as the goal (reference datasets.py:143 + goal_relabeling.py) — the
-    goal image stays JPEG-encoded in the task dict (the OFT objectives never
-    decode it; decoding 1 extra frame/step would only burn host cycles).
+    goal image stays JPEG-encoded in the task dict. Documented divergence:
+    the reference defaults to "uniform", but the OFT objectives never consume
+    the goal, and buffering a second encoded frame per element roughly
+    doubles shuffle-buffer memory — so the default here is None (opt in for
+    goal-conditioned recipes; behavior is tested either way).
     `task_augment_prob` > 0 enables image-or-language modality dropout
     (reference task_augmentation.py), applied to goal-relabeled frames.
     """

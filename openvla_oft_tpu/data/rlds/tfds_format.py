@@ -149,7 +149,13 @@ def iterate_tfds_episodes(root: str, name: str, platform: PlatformSpec,
 
 def _assemble_proprio(obs: Dict, name: str, t: int) -> Optional[np.ndarray]:
     """Concatenate the registry's state_obs_keys into the proprio vector,
-    zero-padding None entries (reference rlds/dataset.py obs remapping)."""
+    zero-padding None entries (reference rlds/dataset.py obs remapping).
+
+    Shared by the tfds conversion and the standardize path
+    (pipeline._standardize_episode_np) — keep the single copy. Columns are
+    sliced to `t` so truncating transforms (bridge relabel) stay aligned.
+    Returns obs["proprio"] (or None) when a key is absent or no keys are
+    registered."""
     cfg = OXE_DATASET_CONFIGS.get(name)
     if cfg is None or not cfg.state_obs_keys:
         return obs.get("proprio")
@@ -158,7 +164,7 @@ def _assemble_proprio(obs: Dict, name: str, t: int) -> Optional[np.ndarray]:
         if key is None:
             cols.append(np.zeros((t, 1), np.float32))
         elif key in obs:
-            cols.append(np.asarray(obs[key], np.float32).reshape(t, -1))
+            cols.append(np.asarray(obs[key], np.float32)[:t].reshape(t, -1))
         else:
             return obs.get("proprio")
     return np.concatenate(cols, axis=1)

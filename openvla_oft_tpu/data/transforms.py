@@ -123,12 +123,17 @@ def invert_gripper_actions(actions: np.ndarray) -> np.ndarray:
 
 
 def rel2abs_gripper_actions(actions: np.ndarray) -> np.ndarray:
-    """Relative (-1 close / +1 open) -> absolute [0, 1] (data_utils.py)."""
+    """Relative gripper commands (input: +1 = closing, -1 = opening, 0 = no
+    change) -> absolute state in [0, 1] with **1 = open, 0 = closed**
+    (reference data_utils.py:132-153: `opening_mask = actions < -0.1` maps to
+    state +1, and `new_actions/2 + 0.5` makes open = 1)."""
     opening = actions < -0.1
     closing = actions > 0.1
-    thresholded = np.where(opening, -1.0, np.where(closing, 1.0, 0.0))
+    # state intent: +1 = open after an opening command, -1 = closed
+    thresholded = np.where(opening, 1.0, np.where(closing, -1.0, 0.0))
     out = np.empty_like(actions, dtype=np.float32)
-    # carry latest nonzero intent; start from the first intent (or open).
+    # carry latest nonzero intent; before the first intent the state is its
+    # opposite (you only close an open gripper); no intents at all = open.
     nonzero = np.nonzero(thresholded)[0]
     carry = -thresholded[nonzero[0]] if len(nonzero) else 1.0
     for i in range(len(actions)):

@@ -86,7 +86,14 @@ def _hub_download(repo_id: str, cache_dir: Optional[str]) -> Optional[str]:
         return None
     try:
         return snapshot_download(repo_id=repo_id, cache_dir=cache_dir)
-    except Exception:
+    except Exception as e:
+        # surface the real cause (auth failure, disk full, missing repo) —
+        # callers fall back to the local-dir error, which would otherwise
+        # misreport every failure as "hub unreachable"
+        import sys
+
+        print(f"[registry] snapshot_download({repo_id!r}) failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
         return None
 
 

@@ -26,6 +26,10 @@ Params = Dict[str, Any]
 _RULES = [
     # Llama / ViT stacked layers — note leading layer axis handled generically.
     (r"layers/attn/(wq|wk|wv)/kernel$", ("fsdp", "tp")),
+    # serving-fused layouts (models/llama.py::fuse_inference_weights) —
+    # column-parallel like their unfused counterparts
+    (r"layers/attn/wqkv/kernel$", ("fsdp", "tp")),
+    (r"layers/mlp/gate_up/kernel$", ("fsdp", "tp")),
     (r"layers/attn/wo/kernel$", ("tp", "fsdp")),
     (r"layers/attn/qkv/kernel$", ("fsdp", "tp")),
     (r"layers/attn/proj/kernel$", ("tp", "fsdp")),

@@ -241,6 +241,26 @@ def test_rt1_gripper_rel2abs_range():
     assert ((g >= 0) & (g <= 1)).all()
 
 
+def test_rel2abs_gripper_direction_matches_reference():
+    """Direction, not just range: the reference (data_utils.py:132-153) maps
+    a close(+1)...open(-1) command stream to open=1/closed=0 state. A sign
+    flip here silently inverts gripper semantics for the whole rt1 family
+    (caught in round-2 review)."""
+    from openvla_oft_tpu.data.transforms import rel2abs_gripper_actions
+
+    # starts open (pre-first-intent), closes at t=2, opens at t=4
+    rel = np.array([0.0, 0.0, 1.0, 0.0, -1.0])
+    np.testing.assert_allclose(rel2abs_gripper_actions(rel),
+                               [1.0, 1.0, 0.0, 0.0, 1.0])
+    # no intents at all -> open for the whole trajectory
+    np.testing.assert_allclose(rel2abs_gripper_actions(np.zeros(3)),
+                               [1.0, 1.0, 1.0])
+    # first intent is opening -> state before it was closed
+    rel = np.array([0.0, -1.0, 0.0])
+    np.testing.assert_allclose(rel2abs_gripper_actions(rel),
+                               [0.0, 1.0, 1.0])
+
+
 def test_bridge_truncation_and_relabel():
     traj = _raw_traj("bridge_orig")
     state = np.asarray(traj["observation"]["state"]).copy()

@@ -206,7 +206,8 @@ def test_raw_libero_auto_standardize_and_wrist_aug(raw_libero_root):
     it, stats = make_rlds_iterator(
         raw_libero_root, "libero_spatial_no_noops",
         lambda b: raw_frames.append(b) or b, LIBERO,
-        shuffle_buffer_size=10, image_aug=True, num_images=2, seed=3)
+        shuffle_buffer_size=10, image_aug=True, num_images=2, seed=3,
+        goal_relabeling_strategy="uniform")
     for _ in range(6):
         next(it)
 
@@ -282,7 +283,8 @@ def test_task_augmentation_modality_dropout(raw_libero_root):
     it, _ = make_rlds_iterator(
         raw_libero_root, "libero_spatial_no_noops",
         lambda b: frames.append(b) or b, LIBERO, shuffle_buffer_size=10,
-        image_aug=False, num_images=2, task_augment_prob=1.0, seed=11)
+        image_aug=False, num_images=2, task_augment_prob=1.0, seed=11,
+        goal_relabeling_strategy="uniform")
     for _ in range(12):
         next(it)
     saw_lang_only = saw_goal_only = 0

@@ -74,12 +74,16 @@ def test_bridge_obs_conversions():
     obs = convert_obs(raw, im)
     assert obs["image_primary"].shape == (im, im, 3)
     assert obs["image_primary"].dtype == np.uint8
-    # proprio padded to 8-D: first 6 state dims, zero pad, gripper last
-    np.testing.assert_array_equal(obs["proprio"],
-                                  [0, 1, 2, 3, 4, 5, 0, 6])
+    # 7-D bridge proprio (xyz+rpy+gripper) matching constants.BRIDGE and the
+    # bridge OXE configs — see convert_obs's documented divergence from the
+    # reference's stale 8-D Octo pad
+    np.testing.assert_array_equal(obs["proprio"], [0, 1, 2, 3, 4, 5, 6])
+    from openvla_oft_tpu.constants import BRIDGE
+
+    assert obs["proprio"].shape[0] == BRIDGE.proprio_dim
     nu = null_obs(im)
     assert nu["image_primary"].shape == (im, im, 3)
-    assert nu["proprio"].shape == (8,)
+    assert nu["proprio"].shape == (7,)
 
     t = start_transform([0.1, 0.2, 0.3])
     assert t.shape == (4, 4)

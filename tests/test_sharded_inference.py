@@ -85,3 +85,29 @@ def test_flash_kernel_under_tp_mesh(rng):
             jax.device_put(jnp.asarray(ids), data),
             jax.device_put(jnp.asarray(mask), data))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-4)
+
+
+def test_fused_weights_shard_over_tp():
+    """fuse_inference_weights outputs (wqkv/gate_up) must match sharding
+    rules — falling through to replication would silently blow up HBM and
+    disable TP for ~2/3 of the 7B weights (round-2 review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from openvla_oft_tpu.config import TINY_LLAMA
+    from openvla_oft_tpu.models.llama import (
+        fuse_inference_weights, init_llama_params)
+    from openvla_oft_tpu.parallel.mesh import make_mesh
+    from openvla_oft_tpu.parallel.sharding import param_pspecs
+
+    params = {"llm": fuse_inference_weights(
+        init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA,
+                          dtype=jnp.float32))}
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    specs = param_pspecs(params, mesh)
+    attn = specs["llm"]["layers"]["attn"]
+    mlp = specs["llm"]["layers"]["mlp"]
+    assert attn["wqkv"]["kernel"] == P(None, "fsdp", "tp"), attn["wqkv"]
+    assert mlp["gate_up"]["kernel"] == P(None, "fsdp", "tp"), mlp["gate_up"]
+    assert attn["wo"]["kernel"] == P(None, "tp", "fsdp")
