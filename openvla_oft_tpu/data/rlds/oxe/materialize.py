@@ -33,6 +33,17 @@ _ACTION_MASKS = {
 }
 
 
+def dataset_action_normalization_mask(dataset_name: str):
+    """Per-dim normalization mask for a registered dataset (reference
+    rlds/dataset.py:229-235 stores it as dataset_statistics["action"]["mask"]
+    so the absolute gripper dimension is exempt from Q99 normalization).
+    Returns None for unregistered names."""
+    cfg = OXE_DATASET_CONFIGS.get(dataset_name)
+    if cfg is None or cfg.action_encoding not in _ACTION_MASKS:
+        return None
+    return list(_ACTION_MASKS[cfg.action_encoding][1])
+
+
 def make_oxe_dataset_kwargs(
     dataset_name: str,
     data_root_dir,
@@ -62,7 +73,10 @@ def make_oxe_dataset_kwargs(
                            if k in load_camera_views},
         "absolute_action_mask": list(absolute_action_mask),
         "action_normalization_mask": list(normalization_mask),
-        "standardize_fn": OXE_STANDARDIZATION_TRANSFORMS.get(dataset_name),
+        # index (not .get): an unregistered transform must fail loudly here,
+        # as in the reference — standardize_fn=None would silently train on
+        # raw, non-standard action conventions.
+        "standardize_fn": OXE_STANDARDIZATION_TRANSFORMS[dataset_name],
     }
     if load_depth:
         out["depth_obs_keys"] = {k: v for k, v in cfg.depth_obs_keys.items()

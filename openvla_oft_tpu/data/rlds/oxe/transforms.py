@@ -88,9 +88,10 @@ def relabel_bridge_actions(traj: Dict) -> Dict:
 
 # === MIVIA / fork-added UR5e (transforms.py:30-35) ===
 def ur5e_pick_place_dataset_transform(traj: Dict) -> Dict:
-    if "traj_metadata" in traj:
-        traj["language_instruction"] = \
-            traj["traj_metadata"]["language_instruction"]
+    # unconditional, like the reference (transforms.py:32): a ur5e episode
+    # without traj_metadata must fail loudly, not train on empty instructions
+    traj["language_instruction"] = \
+        traj["traj_metadata"]["language_instruction"]
     return traj
 
 

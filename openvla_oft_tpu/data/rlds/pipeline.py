@@ -253,6 +253,18 @@ def compute_stats_from_tfrecords(root: str, name: str, platform: PlatformSpec,
                                        num_trajectories=n_ep)
     if standardize_fn is not None:
         stats["transform"] = getattr(standardize_fn, "__name__", "custom")
+    # Exempt absolute action dims (the 0/1 gripper) from normalization —
+    # reference rlds/dataset.py:229-235 stores the registry's
+    # action_normalization_mask in stats["action"]["mask"]; without it the
+    # binarized gripper would be Q99-mapped to {-1,+1}. Registered datasets
+    # only (like the reference): unregistered local data may not follow the
+    # encoding's gripper convention and normalizes fully.
+    from openvla_oft_tpu.data.rlds.oxe.materialize import (
+        dataset_action_normalization_mask)
+
+    mask = dataset_action_normalization_mask(name)
+    if mask is not None and len(mask) == len(stats["action"]["min"]):
+        stats["action"]["mask"] = mask
     return stats
 
 

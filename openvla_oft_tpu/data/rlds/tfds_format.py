@@ -51,6 +51,62 @@ _RAW_STATE_CANDIDATES = (
     "end_effector_pose", "tcp_pose",
 )
 
+# === Structured-feature plans ===
+# The RT-X-core TFDS datasets store *dict* actions (steps/action/<subkey>)
+# and per-step string/int observation features the standardization transforms
+# consume; a flat steps/action float parse cannot feed them. Each plan lists
+# exactly the features its registry transform reads (dtype names resolved to
+# tf dtypes at parse time):
+#   action:      steps/action/<k> -> traj["action"][k]  (dict action)
+#   action_dict: steps/action_dict/<k> -> traj["action_dict"][k]  (droid)
+#   obs_string:  per-step string observation features (language, ZLIB blobs)
+#   obs_int:     per-step int observation features (language_table codepoints)
+_WVRD = {"world_vector": "float32", "rotation_delta": "float32"}
+_RT1_ACT = {**_WVRD, "gripper_closedness_action": "float32"}
+_NLI = ["natural_language_instruction"]
+_TFDS_FEATURE_PLANS: Dict[str, Dict] = {
+    "fractal20220817_data": {"action": _RT1_ACT, "obs_string": _NLI},
+    "kuka": {"action": _RT1_ACT, "obs_string": _NLI + [
+        "clip_function_input/base_pose_tool_reached", "gripper_closed"]},
+    "bridge_oxe": {"action": {**_WVRD, "open_gripper": "int64:scalar"},
+                   "obs_string": _NLI},
+    "taco_play": {"action": {"rel_actions_world": "float32"},
+                  "obs_string": _NLI},
+    "jaco_play": {"action": {"world_vector": "float32",
+                             "gripper_closedness_action": "float32"},
+                  "obs_string": _NLI},
+    "berkeley_cable_routing": {"action": dict(_WVRD), "obs_string": _NLI},
+    "roboturk": {"action": _RT1_ACT, "obs_string": _NLI},
+    "nyu_door_opening_surprising_effectiveness": {"action": _RT1_ACT,
+                                                  "obs_string": _NLI},
+    "viola": {"action": {**_WVRD,
+                         "gripper_closedness_action": "float32:scalar"},
+              "obs_string": _NLI},
+    "berkeley_autolab_ur5": {
+        "action": {**_WVRD, "gripper_closedness_action": "float32:scalar"},
+        "obs_string": _NLI},
+    "toto": {"action": {**_WVRD, "open_gripper": "int64:scalar"},
+             "obs_string": _NLI},
+    "language_table": {"obs_int": ["instruction"]},
+    "dlr_shared_control": {"obs_string": _NLI},
+    "bc_z": {"action": {"future/xyz_residual": "float32",
+                        "future/axis_angle_residual": "float32",
+                        "future/target_close": "int64"},
+             "obs_string": _NLI},
+    "robo_net": {"obs_string": _NLI},
+    "pusht": {"action": {**_WVRD,
+                         "gripper_closedness_action": "float32:scalar"},
+              "obs_string": _NLI},
+    "rh20t": {"action": {"tcp_base": "float32",
+                         "gripper": "float32:scalar"}},
+    "droid": {"action_dict": {"cartesian_velocity": "float32",
+                              "gripper_position": "float32"}},
+    "droid_wipe": {"action_dict": {"cartesian_velocity": "float32",
+                                   "gripper_position": "float32"}},
+}
+
+_TF_DTYPES = {"float32": "float32", "int64": "int64", "string": "string"}
+
 
 def tfds_feature_keys(name: str) -> Dict[str, Optional[str]]:
     """Resolve TFDS flat keys from the OXE registry entry."""
@@ -71,10 +127,12 @@ def parse_tfds_episode(record_bytes, name: str, platform: PlatformSpec,
     import tensorflow as tf
 
     keys = tfds_feature_keys(name)
-    float_keys = list(keys["state_keys"])
+    plan = _TFDS_FEATURE_PLANS.get(name, {})
+    non_float = set(plan.get("obs_string", [])) | set(plan.get("obs_int", []))
+    float_keys = [k for k in keys["state_keys"] if k not in non_float]
     if keep_raw_state:
         float_keys += [k for k in _RAW_STATE_CANDIDATES
-                       if k not in float_keys]
+                       if k not in float_keys and k not in non_float]
     spec = {
         "steps/action": tf.io.VarLenFeature(tf.float32),
         "steps/language_instruction": tf.io.VarLenFeature(tf.string),
@@ -84,6 +142,16 @@ def parse_tfds_episode(record_bytes, name: str, platform: PlatformSpec,
             spec[f"steps/observation/{obs_key}"] = tf.io.VarLenFeature(tf.string)
     for sk in float_keys:
         spec[f"steps/observation/{sk}"] = tf.io.VarLenFeature(tf.float32)
+    for sub, dt in plan.get("action", {}).items():
+        spec[f"steps/action/{sub}"] = tf.io.VarLenFeature(
+            getattr(tf, dt.split(":")[0]))
+    for sub, dt in plan.get("action_dict", {}).items():
+        spec[f"steps/action_dict/{sub}"] = \
+            tf.io.VarLenFeature(getattr(tf, dt.split(":")[0]))
+    for sk in plan.get("obs_string", []):
+        spec[f"steps/observation/{sk}"] = tf.io.VarLenFeature(tf.string)
+    for sk in plan.get("obs_int", []):
+        spec[f"steps/observation/{sk}"] = tf.io.VarLenFeature(tf.int64)
 
     parsed = tf.io.parse_single_example(record_bytes, spec)
     out: Dict = {"observation": {}}
@@ -103,7 +171,32 @@ def parse_tfds_episode(record_bytes, name: str, platform: PlatformSpec,
             t = len(imgs)
     if t is None:
         raise ValueError(f"no image steps parsed for {name}")
-    out["action"] = actions.reshape(t, -1)
+    if plan.get("action"):
+        # dict action (RT-X-core layout: steps/action/<subkey>); keys marked
+        # ":scalar" are per-step scalars the transforms expect 1-D (they add
+        # their own [:, None])
+        act = {}
+        for sub, dt in plan["action"].items():
+            arr = tf.sparse.to_dense(parsed[f"steps/action/{sub}"]).numpy()
+            act[sub] = arr.reshape(t) if dt.endswith(":scalar") \
+                else arr.reshape(t, -1)
+        out["action"] = act
+    else:
+        out["action"] = actions.reshape(t, -1)
+    if plan.get("action_dict"):
+        out["action_dict"] = {
+            sub: tf.sparse.to_dense(
+                parsed[f"steps/action_dict/{sub}"]).numpy().reshape(t, -1)
+            for sub in plan["action_dict"]}
+    for sk in plan.get("obs_string", []):
+        arr = tf.sparse.to_dense(parsed[f"steps/observation/{sk}"],
+                                 default_value=b"").numpy()
+        if len(arr):
+            out["observation"][sk] = arr
+    for sk in plan.get("obs_int", []):
+        arr = tf.sparse.to_dense(parsed[f"steps/observation/{sk}"]).numpy()
+        if arr.size:
+            out["observation"][sk] = arr.reshape(t, -1)
     lang = tf.sparse.to_dense(parsed["steps/language_instruction"]).numpy()
     out["language_instruction"] = lang[0] if len(lang) else b""
     if keep_raw_state:
@@ -114,6 +207,8 @@ def parse_tfds_episode(record_bytes, name: str, platform: PlatformSpec,
     else:
         states = []
         for sk in keys["state_keys"]:
+            if sk in non_float:  # string/int features never join proprio raw
+                continue
             arr = tf.sparse.to_dense(
                 parsed[f"steps/observation/{sk}"]).numpy()
             if arr.size:
@@ -166,8 +261,33 @@ def _assemble_proprio(obs: Dict, name: str, t: int) -> Optional[np.ndarray]:
         elif key in obs:
             cols.append(np.asarray(obs[key], np.float32)[:t].reshape(t, -1))
         else:
+            # Registered state key absent after the transform: warn once per
+            # (dataset, key) — a silent raw-proprio fallback would mask
+            # transform/config key mismatches the reference raises on.
+            # (Locally converted native episodes legitimately carry only the
+            # pre-assembled proprio, which is why this is not a hard error.)
+            if (name, key) not in _WARNED_PROPRIO_KEYS:
+                _WARNED_PROPRIO_KEYS.add((name, key))
+                import sys
+
+                print(f"[rlds] {name}: state_obs_key {key!r} missing after "
+                      f"standardization — falling back to the episode's raw "
+                      f"proprio stream", file=sys.stderr)
             return obs.get("proprio")
     return np.concatenate(cols, axis=1)
+
+
+_WARNED_PROPRIO_KEYS: set = set()
+
+
+def _lang_str(lang) -> str:
+    """Episode instruction as a str: transforms may leave a scalar bytes/str
+    or a per-step array (e.g. language_table decodes per-step codepoints)."""
+    if isinstance(lang, np.ndarray) and lang.ndim > 0:
+        lang = lang[0] if len(lang) else b""
+    if isinstance(lang, np.ndarray):
+        lang = lang.item()
+    return lang.decode() if isinstance(lang, bytes) else str(lang)
 
 
 def convert_tfds_to_native(root: str, name: str, platform: PlatformSpec,
@@ -186,7 +306,16 @@ def convert_tfds_to_native(root: str, name: str, platform: PlatformSpec,
     from openvla_oft_tpu.data.rlds.oxe import OXE_STANDARDIZATION_TRANSFORMS
     from openvla_oft_tpu.data.rlds.pipeline import write_episode_tfrecords
 
-    fn = OXE_STANDARDIZATION_TRANSFORMS.get(name) if standardize else None
+    fn = None
+    if standardize:
+        # loud, like the reference materialize: silently converting an
+        # unregistered dataset raw would bake non-standard action semantics
+        # onto disk
+        if name not in OXE_STANDARDIZATION_TRANSFORMS:
+            raise KeyError(
+                f"no standardization transform registered for {name!r}; "
+                f"pass standardize=False to convert raw intentionally")
+        fn = OXE_STANDARDIZATION_TRANSFORMS[name]
     episodes = []
     n = 0
     for ep in iterate_tfds_episodes(root, name, platform, split,
@@ -209,10 +338,7 @@ def convert_tfds_to_native(root: str, name: str, platform: PlatformSpec,
             "proprio": np.asarray(
                 proprio if proprio is not None else
                 np.zeros((t, platform.proprio_dim)), np.float32)[:t],
-            "language_instruction":
-                ep["language_instruction"].decode()
-                if isinstance(ep["language_instruction"], bytes)
-                else str(ep["language_instruction"]),
+            "language_instruction": _lang_str(ep["language_instruction"]),
         }
         if "image_wrist" in obs:
             native["wrist_images"] = list(obs["image_wrist"])[:t]

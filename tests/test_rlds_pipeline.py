@@ -234,6 +234,14 @@ def test_raw_libero_auto_standardize_and_wrist_aug(raw_libero_root):
     goal = raw_frames[0]["task"]["image_primary"]
     assert isinstance(goal, bytes) and goal[:2] == b"\xff\xd8"  # JPEG magic
 
+    # 4. the absolute gripper dim is exempt from normalization
+    # (stats["action"]["mask"], reference rlds/dataset.py:229-235): frames
+    # carry gripper in {0,1}, not Q99-mapped to {-1,+1}
+    assert st.get("mask") == [True] * 6 + [False], st.get("mask")
+    for f in raw_frames:
+        grip = np.asarray(f["action"])[..., -1]
+        assert np.isin(grip, (0.0, 1.0)).all(), grip
+
     # eval stream leaves images untouched (JPEG round-trip tolerance only)
     eval_frames = []
     it2, _ = make_rlds_iterator(
