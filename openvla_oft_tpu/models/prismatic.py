@@ -89,17 +89,25 @@ def _patch_block(
     proprio: Optional[jnp.ndarray],
     diffusion_t_emb: Optional[jnp.ndarray],
     dtype,
+    precomputed_patches: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Vision features -> projector (+proprio token)(+diffusion-t token).
 
     Reference `_process_vision_features` / `_process_proprio_features`
     (modeling_prismatic.py:438-459) and the diffusion-t append (:593-598).
+    `precomputed_patches` skips the ViT+projector (the reference computes
+    vision features ONCE outside the 50-step diffusion loop and reuses them,
+    modeling_prismatic.py:810 — pass the hoisted block so the scan doesn't
+    depend on XLA loop-invariant code motion to avoid 50x the vision cost).
     """
-    film = params.get("film") if cfg.use_film else None
-    feats = vision_backbone_forward(
-        params["vision_backbone"], cfg, pixels,
-        film_params=film, language_embedding=language_embedding)
-    proj = vision_projector(params["projector"], feats).astype(dtype)
+    if precomputed_patches is not None:
+        proj = precomputed_patches.astype(dtype)
+    else:
+        film = params.get("film") if cfg.use_film else None
+        feats = vision_backbone_forward(
+            params["vision_backbone"], cfg, pixels,
+            film_params=film, language_embedding=language_embedding)
+        proj = vision_projector(params["projector"], feats).astype(dtype)
     extra = []
     if proprio is not None:
         p_tok = proprio_projector(params["proprio_projector"],
@@ -187,9 +195,22 @@ def prismatic_forward(
         [text_embeds[:, :1], patch_embeds, text_embeds[:, 1:]], axis=1)
     patch_true = jnp.ones((b, n_patch), bool)
     mm_pad = jnp.concatenate([pad_mask[:, :1], patch_true, pad_mask[:, 1:]], axis=1)
-    mm_bidir = jnp.concatenate(
+    # The fork's bidirectional attention window spans the action slots AND the
+    # trailing STOP token: the reference appends STOP at inference because it
+    # is "needed in non-causal bi-directional self-attention, as it appears at
+    # train time" (modeling_prismatic.py:742) — under an actions-only window a
+    # trailing token could never influence action hidden states, so STOP must
+    # be inside the window. The gather/zeroing masks stay actions-only
+    # (reference _process_action_masks semantics).
+    after_action = jnp.pad(all_actions_mask[:, :-1], ((0, 0), (1, 0)))
+    stop_after_actions = (input_ids == STOP_INDEX) & after_action
+    attn_bidir_txt = all_actions_mask | stop_after_actions
+    mm_actions = jnp.concatenate(
         [jnp.zeros((b, 1), bool), jnp.zeros((b, n_patch), bool),
          all_actions_mask[:, 1:]], axis=1)
+    mm_bidir = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), jnp.zeros((b, n_patch), bool),
+         attn_bidir_txt[:, 1:]], axis=1)
     ignore = jnp.full((b, n_patch), IGNORE_INDEX, labels.dtype)
     mm_labels = jnp.concatenate([labels[:, :1], ignore, labels[:, 1:]], axis=1)
 
@@ -206,7 +227,7 @@ def prismatic_forward(
     actions_hidden = None
     if gather_actions:
         predictor_mask = jnp.concatenate(
-            [mm_bidir[:, 1:], jnp.zeros((b, 1), bool)], axis=1)
+            [mm_actions[:, 1:], jnp.zeros((b, 1), bool)], axis=1)
         actions_hidden = _gather_mask_rows(hidden, predictor_mask,
                                            platform.chunk_len)
 
@@ -239,6 +260,68 @@ class PredictOutput(NamedTuple):  # noqa: D101
     action_logits: Optional[jnp.ndarray]  # (B, chunk_len, V) fp32 (discrete path)
 
 
+def _left_padded_layout(text_embeds, patch_embeds, prompt_mask,
+                        tail_embeds=None):
+    """Assemble the serving-path physical layout shared by the OFT prefill
+    and the AR decode path:
+
+        staged  = [text (p_len)] [patches (n_patch)] [tail...]
+        output  = [pads (p)][BOS][patches][text_rest][tail...]
+
+    via a per-row gather (pads vary per example; everything else is static).
+    Returns (embeds, positions, key_valid, pad_counts) with RoPE positions =
+    physical index - pad count.
+    """
+    b, p_len = prompt_mask.shape
+    n_patch = patch_embeds.shape[1]
+    parts = [text_embeds, patch_embeds]
+    if tail_embeds is not None:
+        parts.append(tail_embeds)
+    staged = jnp.concatenate(parts, axis=1)
+    s = staged.shape[1]
+    pad_counts = (p_len - jnp.sum(prompt_mask, axis=1)).astype(jnp.int32)
+    i = jnp.arange(s, dtype=jnp.int32)[None, :]
+    p = pad_counts[:, None]
+    src = jnp.where(
+        i <= p, i,
+        jnp.where(i < p + 1 + n_patch, p_len + (i - (p + 1)),   # patches
+                  jnp.where(i < p_len + n_patch, i - n_patch,   # text rest
+                            i)))                                 # tail
+    embeds = jnp.take_along_axis(staged, src[..., None], axis=1)
+    positions = jnp.maximum(i - p, 0)
+    key_valid = i >= p
+    return embeds, positions, key_valid, pad_counts
+
+
+def compute_patch_features(
+    params: Params,
+    cfg: OpenVLAConfig,
+    input_ids: jnp.ndarray,
+    prompt_mask: jnp.ndarray,
+    pixels: jnp.ndarray,
+) -> jnp.ndarray:
+    """Projected vision patches for the serving path, computed ONCE for reuse
+    across a diffusion loop (reference modeling_prismatic.py:810). Replicates
+    predict_action_hidden's FiLM language conditioning; proprio/diffusion-t
+    tokens are appended per call via `precomputed_patches`."""
+    dtype = params["llm"]["embed"]["embedding"].dtype
+    prompt_mask = prompt_mask.astype(bool)
+    lang_embedding = None
+    if cfg.use_film:
+        b = input_ids.shape[0]
+        text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
+        text_embeds = text_embeds * prompt_mask[..., None]
+        stop_embed = embed_tokens(
+            params["llm"],
+            jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
+        cat = jnp.concatenate([text_embeds, stop_embed], axis=1)
+        valid = jnp.concatenate(
+            [prompt_mask, jnp.ones((b, 1), bool)], axis=1)
+        lang_embedding = _masked_mean_language_embedding(cat, valid)
+    return _patch_block(params, cfg, pixels, lang_embedding, None, None,
+                        dtype)
+
+
 def predict_action_hidden(
     params: Params,
     cfg: OpenVLAConfig,
@@ -251,6 +334,7 @@ def predict_action_hidden(
     diffusion_t_emb: Optional[jnp.ndarray] = None,
     use_flash="auto",
     compute_logits: bool = False,
+    precomputed_patches: Optional[jnp.ndarray] = None,
 ) -> PredictOutput:
     """One prefill with parallel decoding; returns action-slot hidden states.
 
@@ -278,7 +362,8 @@ def predict_action_hidden(
         lang_embedding = _masked_mean_language_embedding(cat, valid)
 
     patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
-                                diffusion_t_emb, dtype)
+                                diffusion_t_emb, dtype,
+                                precomputed_patches=precomputed_patches)
     n_patch = patch_embeds.shape[1]
 
     if noisy_actions is not None:
@@ -290,32 +375,22 @@ def predict_action_hidden(
     stop_embeds = embed_tokens(
         params["llm"], jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
 
-    # Assemble [pads|BOS|text_rest|patches|actions|STOP], then a per-row gather
-    # swaps the text_rest and patch blocks so real tokens sit in logical order:
-    # [pads (p)][BOS][patches][text_rest][actions][STOP].
-    staged = jnp.concatenate([text_embeds, patch_embeds, action_embeds,
-                              stop_embeds], axis=1)
+    # [pads (p)][BOS][patches][text_rest][actions][STOP] via the shared
+    # per-row layout gather.
+    embeds, positions, key_valid, pad_counts = _left_padded_layout(
+        text_embeds, patch_embeds, prompt_mask,
+        tail_embeds=jnp.concatenate([action_embeds, stop_embeds], axis=1))
     s = p_len + n_patch + chunk + 1
-    pad_counts = (p_len - jnp.sum(prompt_mask, axis=1)).astype(jnp.int32)  # (B,)
-
-    i = jnp.arange(s, dtype=jnp.int32)[None, :]                     # (1, S)
-    p = pad_counts[:, None]
-    src = jnp.where(
-        i <= p, i,
-        jnp.where(i < p + 1 + n_patch, p_len + (i - (p + 1)),       # patches
-                  jnp.where(i < p_len + n_patch, i - n_patch,       # text rest
-                            i)))                                     # tail
-    embeds = jnp.take_along_axis(staged, src[..., None], axis=1)
-
-    positions = jnp.maximum(i - p, 0)
-    key_valid = i >= p                                              # (B, S)
-    window = (p_len + n_patch, chunk)                               # static
+    # bidirectional window = action slots + the trailing STOP (chunk+1 wide):
+    # the reference appends STOP because it participates in the non-causal
+    # window at train time (modeling_prismatic.py:742); see prismatic_forward.
+    window = (p_len + n_patch, chunk + 1)                           # static
 
     if use_flash == "auto":
         from openvla_oft_tpu.ops.attention import FLASH_SEQ_THRESHOLD
 
         use_flash = s >= FLASH_SEQ_THRESHOLD
-    bidir = jnp.zeros((b, s), bool).at[:, window[0]:window[0] + chunk].set(True)
+    bidir = jnp.zeros((b, s), bool).at[:, window[0]:window[0] + chunk + 1].set(True)
     hidden = _run_llm(params["llm"], cfg.llm, embeds, positions=positions,
                       padding_mask=key_valid, bidir_mask=bidir,
                       use_flash=use_flash, bidir_block=window)
@@ -372,18 +447,9 @@ def predict_action_autoregressive(
     patch_embeds = _patch_block(params, cfg, pixels, None, None, None, dtype)
     n_patch = patch_embeds.shape[1]
 
-    staged = jnp.concatenate([text_embeds, patch_embeds], axis=1)
+    embeds, positions, key_valid, pad_counts = _left_padded_layout(
+        text_embeds, patch_embeds, prompt_mask)
     s = p_len + n_patch
-    pad_counts = (p_len - jnp.sum(prompt_mask, axis=1)).astype(jnp.int32)
-    i = jnp.arange(s, dtype=jnp.int32)[None, :]
-    p = pad_counts[:, None]
-    src = jnp.where(
-        i <= p, i,
-        jnp.where(i < p + 1 + n_patch, p_len + (i - (p + 1)),
-                  jnp.where(i < s, i - n_patch, i)))
-    embeds = jnp.take_along_axis(staged, src[..., None], axis=1)
-    positions = jnp.maximum(i - p, 0)
-    key_valid = i >= p
 
     t_max = s + num_new_tokens
     cache = KVCache.create(cfg.llm, b, t_max, dtype=dtype)

@@ -25,6 +25,8 @@ class ModelEntry:
     vision_backbone_id: str = "dinosiglip-vit-so-224px"
     llm_backbone_id: str = "llama2-7b-pure"
     is_vla: bool = False
+    head: Optional[str] = None      # "l1" | "diffusion" | "discrete" (VLAs)
+    platform: Optional[str] = None  # constants.PLATFORMS key
 
 
 MODEL_REGISTRY: Dict[str, ModelEntry] = {}
@@ -37,27 +39,30 @@ def register_model(entry: ModelEntry) -> ModelEntry:
 
 # Released Prismatic VLMs the OpenVLA line builds on (reference registry.py)
 # plus the OpenVLA / OpenVLA-OFT released checkpoints (LIBERO.md:41-45).
-for _id, _repo, _desc, _vla in [
+for _id, _repo, _desc, _vla, _head, _plat in [
     ("prism-dinosiglip-224px+7b", "TRI-ML/prismatic-vlms",
-     "Prismatic VLM: DINOv2+SigLIP fused backbone, Llama-2-7B", False),
+     "Prismatic VLM: DINOv2+SigLIP fused backbone, Llama-2-7B",
+     False, None, None),
     ("prism-dinosiglip-224px+13b", "TRI-ML/prismatic-vlms",
-     "Prismatic VLM, Llama-2-13B", False),
+     "Prismatic VLM, Llama-2-13B", False, None, None),
     ("openvla-7b", "openvla/openvla-7b",
-     "Base OpenVLA 7B (discrete autoregressive actions)", True),
+     "Base OpenVLA 7B (discrete autoregressive actions)",
+     True, "discrete", "bridge"),
     ("openvla-7b-oft-finetuned-libero-spatial",
      "moojink/openvla-7b-oft-finetuned-libero-spatial",
-     "OFT LIBERO-Spatial: L1 head, 2 images, proprio", True),
+     "OFT LIBERO-Spatial: L1 head, 2 images, proprio", True, "l1", "libero"),
     ("openvla-7b-oft-finetuned-libero-object",
      "moojink/openvla-7b-oft-finetuned-libero-object",
-     "OFT LIBERO-Object", True),
+     "OFT LIBERO-Object", True, "l1", "libero"),
     ("openvla-7b-oft-finetuned-libero-goal",
      "moojink/openvla-7b-oft-finetuned-libero-goal",
-     "OFT LIBERO-Goal (50K-step checkpoint)", True),
+     "OFT LIBERO-Goal (50K-step checkpoint)", True, "l1", "libero"),
     ("openvla-7b-oft-finetuned-libero-10",
      "moojink/openvla-7b-oft-finetuned-libero-10",
-     "OFT LIBERO-10", True),
+     "OFT LIBERO-10", True, "l1", "libero"),
 ]:
-    register_model(ModelEntry(_id, _repo, _desc, is_vla=_vla))
+    register_model(ModelEntry(_id, _repo, _desc, is_vla=_vla, head=_head,
+                              platform=_plat))
 
 
 def available_models() -> Tuple[str, ...]:
@@ -133,12 +138,26 @@ def load(model_id_or_path: str, cache_dir: Optional[str] = None,
 
 
 def load_vla(model_id_or_path: str, cache_dir: Optional[str] = None,
-             platform: Optional[PlatformSpec] = None, dtype=None):
+             platform: Optional[PlatformSpec] = None, dtype=None,
+             head: Optional[str] = None):
     """Load an OpenVLA policy (reference load.py:122-226). Returns
-    `OpenVLAPolicy` ready for `predict_action`."""
+    `OpenVLAPolicy` ready for `predict_action`.
+
+    Registered ids carry their head/platform defaults (the base openvla-7b
+    is a discrete autoregressive bridge-style policy, not an L1 OFT one);
+    explicit arguments override."""
+    from openvla_oft_tpu.constants import PLATFORMS
     from openvla_oft_tpu.policy import OpenVLAPolicy
 
+    entry = MODEL_REGISTRY.get(model_id_or_path)
+    if entry is not None and not entry.is_vla:
+        raise ValueError(
+            f"{model_id_or_path!r} is a Prismatic VLM, not a VLA — use "
+            f"load() for (config, params, norm_stats)")
     cfg, params, norm_stats = load(model_id_or_path, cache_dir, dtype=dtype)
-    platform = platform or detect_robot_platform(model_id_or_path)
+    if platform is None:
+        platform = PLATFORMS[entry.platform] if entry and entry.platform \
+            else detect_robot_platform(model_id_or_path)
+    head = head or (entry.head if entry else None) or "l1"
     return OpenVLAPolicy(cfg=cfg, platform=platform, params=params,
-                         norm_stats=norm_stats)
+                         norm_stats=norm_stats, head=head)

@@ -41,6 +41,7 @@ def _init_llm_params(key, llm_cfg, dtype):
     return init_llama_params(key, llm_cfg, dtype=dtype)
 from openvla_oft_tpu.models.prismatic import (
     detokenize_discrete_actions,
+    compute_patch_features,
     predict_action_hidden,
     prepare_prompt_ids,
     unnormalize_actions,
@@ -102,8 +103,15 @@ class OpenVLAPolicy:
     norm_stats: Optional[dict] = None
     head: str = "l1"                      # "l1" | "diffusion" | "discrete"
     prompt_bucket: int = 64
-    num_diffusion_steps_inference: int = 50
-    use_flash = "auto"
+    # The diffusion head's training T. The reference couples train and
+    # inference (DDIMScheduler(num_train_timesteps=num_diffusion_steps) +
+    # set_timesteps(num_diffusion_steps), i.e. run ALL T steps;
+    # modeling_prismatic.py:808, action_heads.py:163); keep them coupled here
+    # and subsample only via the explicit num_diffusion_steps_inference
+    # override (TPU extra, defaults to run-all).
+    num_diffusion_steps: int = 50
+    num_diffusion_steps_inference: Optional[int] = None
+    use_flash: Any = "auto"
     tokenizer: Any = None
 
     def __post_init__(self):
@@ -140,9 +148,16 @@ class OpenVLAPolicy:
         """Reverse diffusion as ONE lax.scan program — the reference reruns
         the Python loop with 50 full HF forwards (modeling_prismatic.py:793-877);
         here all 50 prefills compile into a single scanned computation."""
-        sched = diffusion_scheduler(100)
-        ts = jnp.asarray(sched.timesteps(self.num_diffusion_steps_inference))
+        sched = diffusion_scheduler(self.num_diffusion_steps)
+        n_inf = self.num_diffusion_steps_inference or self.num_diffusion_steps
+        ts = jnp.asarray(sched.timesteps(n_inf))
         b = input_ids.shape[0]
+        # Vision is loop-invariant: compute the projected patch block ONCE
+        # outside the scan (reference clones projected_patch_embeddings,
+        # modeling_prismatic.py:810) instead of relying on XLA to hoist the
+        # dual-ViT forward out of the while loop.
+        patches = compute_patch_features(params, self.cfg, input_ids,
+                                         prompt_mask, pixels)
         # Fresh starting noise per call (reference torch.randn,
         # modeling_prismatic.py:1029-1032); key threaded from the host.
         key = noise_key if noise_key is not None else jax.random.PRNGKey(0)
@@ -157,12 +172,11 @@ class OpenVLAPolicy:
                 params, self.cfg, self.platform, input_ids=input_ids,
                 prompt_mask=prompt_mask, pixels=pixels, proprio=proprio,
                 noisy_actions=x_t, diffusion_t_emb=t_emb,
-                use_flash=self.use_flash)
+                use_flash=self.use_flash, precomputed_patches=patches)
             eps = diffusion_predict_noise(
                 params["action_head"], out.actions_hidden.astype(jnp.float32),
                 self.platform)
-            x_prev = sched.step(eps, t, x_t,
-                                self.num_diffusion_steps_inference)
+            x_prev = sched.step(eps, t, x_t, n_inf)
             return x_prev, None
 
         actions, _ = jax.lax.scan(body, noise, ts)

@@ -210,3 +210,44 @@ def test_aloha_platform_layout_equivalence(params):
     np.testing.assert_allclose(np.asarray(pred.actions_hidden),
                                np.asarray(train_out.actions_hidden),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_stop_token_inside_bidirectional_window(params):
+    """The fork's non-causal window includes the trailing STOP token — the
+    reference appends it at inference because "it appears at train time" in
+    bidirectional attention (modeling_prismatic.py:742). Contract: perturbing
+    the STOP embedding row must change the action hidden states on BOTH the
+    training forward and the inference prefill (under an actions-only window
+    a trailing token is provably inert), while the gather still returns
+    exactly chunk_len slots."""
+    prompt, full_ids, labels = _make_example()
+    pixels = _pixels()
+
+    mutated = jax.tree_util.tree_map(lambda x: x, params)
+    emb = mutated["llm"]["embed"]["embedding"]
+    mutated["llm"] = dict(mutated["llm"])
+    mutated["llm"]["embed"] = {
+        "embedding": emb.at[STOP_INDEX].add(1.0)}
+
+    def train_hidden(p):
+        return np.asarray(prismatic_forward(
+            p, CFG, LIBERO, input_ids=jnp.asarray(full_ids[None]),
+            attention_mask=jnp.ones((1, len(full_ids)), jnp.int32),
+            pixels=pixels, labels=jnp.asarray(labels[None]),
+            compute_logits=False).actions_hidden)
+
+    a, b_ = train_hidden(params), train_hidden(mutated)
+    assert a.shape[1] == LIBERO.chunk_len
+    assert np.abs(a - b_).max() > 1e-6, \
+        "STOP embedding is inert in training attention window"
+
+    def pred_hidden(p):
+        return np.asarray(predict_action_hidden(
+            p, CFG, LIBERO, input_ids=jnp.asarray(prompt[None]),
+            prompt_mask=jnp.ones((1, len(prompt)), jnp.int32),
+            pixels=pixels).actions_hidden)
+
+    c, d = pred_hidden(params), pred_hidden(mutated)
+    assert np.abs(c - d).max() > 1e-6, \
+        "STOP embedding is inert in inference attention window"

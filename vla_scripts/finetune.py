@@ -226,7 +226,7 @@ def finetune(cfg: FinetuneConfig) -> dict:
         num_steps_before_decay=cfg.num_steps_before_decay,
         warmup_steps=cfg.lr_warmup_steps, lora_rank=cfg.lora_rank,
         lora_alpha=float(min(cfg.lora_rank, 16)), use_proprio=cfg.use_proprio,
-        use_film=cfg.use_film, num_diffusion_steps=100,
+        use_film=cfg.use_film, num_diffusion_steps=cfg.num_diffusion_steps,
         grad_accumulation_steps=cfg.grad_accumulation_steps)
 
     # === Mesh + state ===
