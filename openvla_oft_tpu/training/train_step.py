@@ -56,13 +56,19 @@ class TrainConfig:
 
 
 def lr_schedule(cfg: TrainConfig):
-    """Linear warmup -> constant -> step decay at `num_steps_before_decay`."""
+    """10%->100% linear warmup -> constant -> step decay.
+
+    Warmup matches the reference exactly: lr * (0.1 + 0.9 * (i+1)/warmup)
+    capped at 1 (finetune.py:1094-1096) — the first optimizer step runs at
+    ~10% lr, never 0. (Reference quirk NOT reproduced: its per-step
+    param_group overwrite silently cancels MultiStepLR decay whenever warmup
+    is enabled; here decay applies regardless.)"""
 
     def fn(step):
         lr = jnp.asarray(cfg.learning_rate, jnp.float32)
         if cfg.warmup_steps > 0:
-            warm = jnp.minimum(step / cfg.warmup_steps, 1.0)
-            lr = lr * warm
+            progress = jnp.minimum((step + 1) / cfg.warmup_steps, 1.0)
+            lr = lr * (0.1 + 0.9 * progress)
         return jnp.where(step >= cfg.num_steps_before_decay,
                          lr * cfg.lr_decay_factor, lr)
 
@@ -232,3 +238,56 @@ def train_step(
                            state.step + 1, rng)
     metrics["grad_norm"] = optax.global_norm(grads)
     return new_state, metrics
+
+
+def diffusion_sampling_metrics(
+    trainables: Params,
+    base_params: Params,
+    batch: Dict[str, jnp.ndarray],
+    model_cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    cfg: TrainConfig,
+    rng,
+    use_flash: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Reverse-diffusion sampling on a TRAINING batch -> action L1 metrics
+    (reference `run_diffusion_sampling`, finetune.py:454-540, invoked every
+    `diffusion_sample_freq` steps). One `lax.scan` over all T steps using the
+    training layout, so the periodic metric costs ~T forward passes in one
+    compiled program."""
+    from openvla_oft_tpu.models.action_heads import (
+        diffusion_scheduler,
+        sinusoidal_time_encoding,
+    )
+
+    params = _merged_params(base_params, trainables, cfg)
+    gt_actions = batch["actions"]
+    b = gt_actions.shape[0]
+    sched = diffusion_scheduler(cfg.num_diffusion_steps)
+    ts = jnp.asarray(sched.timesteps(cfg.num_diffusion_steps))
+    noise = jax.random.normal(rng, gt_actions.shape, jnp.float32)
+
+    def body(x_t, t):
+        t_emb = sinusoidal_time_encoding(
+            jnp.broadcast_to(t[None], (b,)), model_cfg.llm_dim)[:, None, :]
+        out = prismatic_forward(
+            params, model_cfg, platform,
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            pixels=batch["pixel_values"], labels=batch["labels"],
+            proprio=batch.get("proprio") if cfg.use_proprio else None,
+            noisy_actions=x_t, diffusion_t_emb=t_emb, use_flash=use_flash,
+            compute_logits=False, remat=True)
+        eps = diffusion_predict_noise(
+            trainables["action_head"],
+            out.actions_hidden.astype(jnp.bfloat16), platform)
+        return sched.step(eps.astype(jnp.float32), t, x_t,
+                          cfg.num_diffusion_steps), None
+
+    sampled, _ = jax.lax.scan(body, noise, ts)
+    l1 = jnp.abs(gt_actions.astype(jnp.float32) - sampled)
+    return {
+        "sampled_actions_l1_loss": jnp.mean(l1),
+        "curr_action_l1_loss_sampled": jnp.mean(l1[:, 0]),
+        "next_actions_l1_loss_sampled": jnp.mean(l1[:, 1:]),
+    }

@@ -131,3 +131,61 @@ def test_finetune_quantize_base(tmp_path):
             metrics_files[0].read_text().splitlines() if line.strip()]
     losses = [r["loss"] for r in rows if "loss" in r]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_lr_warmup_matches_reference_formula():
+    """Warmup ramps 10%->100% (reference finetune.py:1094-1096), never 0."""
+    from openvla_oft_tpu.training.train_step import TrainConfig, lr_schedule
+
+    fn = lr_schedule(TrainConfig(learning_rate=5e-4, warmup_steps=1000))
+    np.testing.assert_allclose(float(fn(0)), 5e-4 * (0.1 + 0.9 * 1 / 1000),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(fn(499)), 5e-4 * (0.1 + 0.9 * 0.5),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(fn(2000)), 5e-4, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_grad_accum_counts_optimizer_steps(tmp_path):
+    """max_steps counts OPTIMIZER steps (reference log_step semantics): with
+    G=2 and max_steps=2 the loop must consume 4 micro-batches, and the saved
+    checkpoint is numbered by gradient step."""
+    from vla_scripts.finetune import FinetuneConfig, finetune
+
+    out = finetune(FinetuneConfig(
+        vla_path="random:tiny", data_root_dir=Path("dummy"),
+        dataset_name="libero_dummy", batch_size=2, max_steps=2,
+        grad_accumulation_steps=2, save_freq=2, use_proprio=True,
+        run_root_dir=tmp_path, use_flash_attention=False,
+        wandb_log_freq=100, merge_lora_during_training=False))
+    # state.step counts micro-steps: 2 optimizer steps * G=2
+    assert out["final_step"] == 4
+    ckpts = sorted((Path(out["run_dir"]) / "ckpt").iterdir())
+    assert [c.name for c in ckpts] == ["000002"]  # gradient-step numbering
+    # per-module .pt files live in the reference's sibling chkpt dir
+    chkpt_dir = Path(str(out["run_dir"]) + "--2_chkpt")
+    assert chkpt_dir.is_dir()
+    assert (chkpt_dir / "action_head--2_checkpoint.pt").exists()
+    assert (chkpt_dir / "dataset_statistics.json").exists()
+
+
+@pytest.mark.slow
+def test_finetune_diffusion_with_sampling_metric(tmp_path):
+    """Diffusion objective end-to-end incl. the periodic reverse-diffusion
+    sampling metric (reference run_diffusion_sampling)."""
+    import json
+
+    from vla_scripts.finetune import FinetuneConfig, finetune
+
+    out = finetune(FinetuneConfig(
+        vla_path="random:tiny", data_root_dir=Path("dummy"),
+        dataset_name="libero_dummy", batch_size=2, max_steps=2,
+        use_l1_regression=False, use_diffusion=True, num_diffusion_steps=4,
+        diffusion_sample_freq=1, save_freq=100, use_proprio=True,
+        run_root_dir=tmp_path, use_flash_attention=False, wandb_log_freq=1,
+        merge_lora_during_training=False))
+    assert out["final_step"] == 2
+    logs = list(Path(out["run_dir"]).glob("*.jsonl"))
+    rows = [json.loads(line) for line in logs[0].read_text().splitlines()]
+    keys = set().union(*[r.keys() for r in rows])
+    assert "sampled_actions_l1_loss" in keys, keys

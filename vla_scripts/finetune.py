@@ -159,6 +159,12 @@ def finetune(cfg: FinetuneConfig) -> dict:
 
     assert not (cfg.use_l1_regression and cfg.use_diffusion), \
         "choose at most one continuous objective"
+    assert cfg.use_lora, \
+        "Only LoRA fine-tuning is supported (reference finetune.py:779); " \
+        "use vla_scripts/train.py for full-parameter training"
+    assert cfg.lora_dropout == 0.0, \
+        "lora_dropout is not implemented in the TPU LoRA path (the reference " \
+        "recipes all use 0.0); a nonzero value would silently diverge"
     objective = ("l1" if cfg.use_l1_regression else
                  "diffusion" if cfg.use_diffusion else "discrete")
     platform = get_platform(cfg.robot_platform) if cfg.robot_platform else \
@@ -238,16 +244,18 @@ def finetune(cfg: FinetuneConfig) -> dict:
 
         ckpt_dir = os.path.join(run_dir, "ckpt")
         if cfg.resume:
-            step0 = cfg.resume_step or latest_step(ckpt_dir)
+            step0 = cfg.resume_step if cfg.resume_step is not None else latest_step(ckpt_dir)
             assert step0 is not None, f"no checkpoint to resume in {ckpt_dir}"
             restored = restore_checkpoint(
                 ckpt_dir, step0,
                 template={"trainables": state.trainables,
                           "opt_state": state.opt_state})
+            # Orbax steps are GRADIENT steps; state.step counts micro-steps.
+            micro0 = step0 * max(cfg.grad_accumulation_steps, 1)
             state = TrainState(state.base_params, restored["trainables"],
                                restored["opt_state"],
-                               jnp.asarray(step0, jnp.int32), state.rng)
-            print(f"[finetune] resumed at step {step0}")
+                               jnp.asarray(micro0, jnp.int32), state.rng)
+            print(f"[finetune] resumed at gradient step {step0}")
 
         # === Data ===
         processor = PrismaticProcessor(model_cfg)
@@ -255,7 +263,8 @@ def finetune(cfg: FinetuneConfig) -> dict:
         if str(cfg.data_root_dir) == "dummy":
             dataset = DummyDataset(transform,
                                    image_size=model_cfg.vision_configs[0].image_size,
-                                   num_samples=max(cfg.max_steps, 1) * cfg.batch_size,
+                                   num_samples=max(cfg.max_steps, 1) * cfg.batch_size
+                                   * max(cfg.grad_accumulation_steps, 1),
                                    num_images=cfg.num_images_in_input)
             stats = {cfg.dataset_name: {
                 "action": {"min": [-1.0] * platform.action_dim,
@@ -284,13 +293,23 @@ def finetune(cfg: FinetuneConfig) -> dict:
             trackers.append(WeightsBiasesTracker(
                 run_dir, run_id, project=cfg.wandb_project,
                 entity=cfg.wandb_entity, config=dataclasses.asdict(cfg)))
-        metrics = VLAMetrics(trackers)
+        metrics = VLAMetrics(trackers, window=max(cfg.grad_accumulation_steps, 1))
 
         # === Compiled step ===
         tx = make_optimizer(tcfg)
         step_fn = jax.jit(lambda st, bt: train_step(
             st, bt, model_cfg, platform, tcfg, tx=tx,
             use_flash=cfg.use_flash_attention))
+        if cfg.use_diffusion:
+            # Periodic reverse-diffusion sampling on the training batch
+            # (reference run_diffusion_sampling every diffusion_sample_freq
+            # steps) — the action-space L1 signal the noise-MSE loss hides.
+            from openvla_oft_tpu.training.train_step import (
+                diffusion_sampling_metrics)
+
+            sample_fn = jax.jit(lambda st, bt, key: diffusion_sampling_metrics(
+                st.trainables, st.base_params, bt, model_cfg, platform, tcfg,
+                key, use_flash=cfg.use_flash_attention))
         batch_sharding = NamedSharding(mesh, P(("dp", "fsdp")))
 
         # Validation loss (reference `run_validation`, finetune.py:678-760):
@@ -301,33 +320,55 @@ def finetune(cfg: FinetuneConfig) -> dict:
             st.trainables, st.base_params, bt, model_cfg, platform, tcfg, key,
             use_flash=cfg.use_flash_attention))
 
-        def run_validation(state, step):
-            if str(cfg.data_root_dir) == "dummy":
-                val_ds = DummyDataset(
-                    dataclasses.replace(transform),
-                    image_size=model_cfg.vision_configs[0].image_size,
-                    num_samples=8 * cfg.batch_size, seed=999,
-                    num_images=cfg.num_images_in_input)
-            else:
-                from openvla_oft_tpu.data.rlds.pipeline import make_rlds_iterator
+        # Build the validation stream ONCE (the reference constructs its
+        # val_dataloader once, finetune.py:678-760 — rebuilding the tf.data
+        # pipeline + shuffle buffer per validation call wastes minutes).
+        _val_ds = None
 
-                val_ds, _ = make_rlds_iterator(
-                    str(cfg.data_root_dir), cfg.dataset_name, transform,
-                    platform, shuffle_buffer_size=1000, image_aug=False,
-                    train=False, num_images=cfg.num_images_in_input)
-            t0, losses = time.time(), []
+        def _get_val_ds():
+            nonlocal _val_ds
+            if _val_ds is None:
+                if str(cfg.data_root_dir) == "dummy":
+                    _val_ds = DummyDataset(
+                        dataclasses.replace(transform),
+                        image_size=model_cfg.vision_configs[0].image_size,
+                        num_samples=8 * cfg.batch_size, seed=999,
+                        num_images=cfg.num_images_in_input)
+                else:
+                    from openvla_oft_tpu.data.rlds.pipeline import (
+                        make_rlds_iterator)
+
+                    _val_ds, _ = make_rlds_iterator(
+                        str(cfg.data_root_dir), cfg.dataset_name, transform,
+                        platform, shuffle_buffer_size=1000,
+                        image_aug=cfg.image_aug,
+                        train=False, num_images=cfg.num_images_in_input)
+            return _val_ds
+
+        def run_validation(state, step):
+            """Wall-clock-limited val pass logging the FULL metric suite the
+            reference's run_validation logs (loss + curr/next action L1 /
+            token accuracies), not just the mean loss."""
+            t0 = time.time()
+            agg: dict = {}
             key = jax.random.PRNGKey(4242)
-            for vb in batch_iterator(val_ds, cfg.batch_size, collator):
+            for bi, vb in enumerate(batch_iterator(_get_val_ds(),
+                                                   cfg.batch_size, collator)):
                 if time.time() - t0 > cfg.val_time_limit:
                     break
                 vb = {k: jax.device_put(v, batch_sharding)
                       for k, v in vb.items() if k != "dataset_name"}
-                loss, _ = val_loss_fn(state, vb, key)
-                losses.append(float(loss))
-            if losses:
-                metrics.push(step, extra={"val_loss": float(np.mean(losses))})
-                print(f"[finetune] val_loss={np.mean(losses):.4f} "
-                      f"({len(losses)} batches)")
+                # vary the diffusion-timestep key per batch (a fixed key
+                # would sample identical timesteps every batch)
+                key, sub = jax.random.split(key)
+                _, m = val_loss_fn(state, vb, sub)
+                for k, v in m.items():
+                    agg.setdefault(k, []).append(float(v))
+            if agg:
+                extra = {f"val_{k}": float(np.mean(v)) for k, v in agg.items()}
+                metrics.push(step, extra=extra)
+                print(f"[finetune] val_loss={extra['val_loss']:.4f} "
+                      f"({len(agg['loss'])} batches)")
 
         from openvla_oft_tpu.data.prefetch import DevicePrefetcher
 
@@ -338,73 +379,122 @@ def finetune(cfg: FinetuneConfig) -> dict:
         prefetched = DevicePrefetcher(batches, sharding=batch_sharding)
         guard = PreemptionGuard()
         guard.__enter__()
+        G = max(cfg.grad_accumulation_steps, 1)
+
+        def save_training_checkpoint(state, grad_step):
+            """Reference save_training_checkpoint layout (finetune.py:610-675):
+            everything co-located in `{run_dir}--{N}_chkpt` (or run_dir itself
+            with `latest` naming under save_latest_checkpoint_only) —
+            dataset_statistics.json, per-module `{name}--{N}_checkpoint.pt`,
+            and the merged model. Orbax resume state stays in run_dir/ckpt."""
+            save_checkpoint(ckpt_dir, grad_step,
+                            {"trainables": state.trainables,
+                             "opt_state": state.opt_state})
+            if cfg.save_latest_checkpoint_only:
+                chkpt_dir, label = run_dir, "latest"
+                # keep ONE orbax step dir (prune older ones)
+                for d in sorted(os.listdir(ckpt_dir))[:-1]:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(ckpt_dir, d),
+                                  ignore_errors=True)
+            else:
+                chkpt_dir = f"{run_dir}--{grad_step}_chkpt"
+                label = str(grad_step)
+            os.makedirs(chkpt_dir, exist_ok=True)
+            save_dataset_statistics(stats, chkpt_dir)
+            print(f"[finetune] saved checkpoint for step {grad_step}")
+
+            host_tr = jax.device_get(state.trainables)
+            from openvla_oft_tpu.training.checkpoint import export_module_pt
+
+            for mod in ("action_head", "proprio_projector",
+                        "noisy_action_projector"):
+                if mod in host_tr:
+                    export_module_pt(host_tr[mod], mod, chkpt_dir, label)
+            if cfg.use_film and "film" in host_tr and not cfg.quantize_base:
+                from openvla_oft_tpu.training.checkpoint import (
+                    export_film_vision_backbone_pt)
+
+                export_film_vision_backbone_pt(
+                    jax.device_get(base["vision_backbone"]),
+                    host_tr["film"], model_cfg, chkpt_dir, label)
+
+            if cfg.merge_lora_during_training and cfg.use_lora:
+                # In-training LoRA merge + reference-format export
+                # (finetune.py:663-675). Host-side NumPy merge so the device
+                # never holds a second full weight copy. Under QLoRA the
+                # in-memory base is int8 (merging into quantization codes
+                # would be garbage) — the reference merges against the
+                # original checkpoint (finetune.py:664), so reload it.
+                from openvla_oft_tpu.training.lora import (
+                    merge_lora_into_params)
+                from openvla_oft_tpu.utils.hf_import import (
+                    export_openvla_checkpoint)
+
+                if cfg.quantize_base:
+                    if not os.path.isdir(cfg.vla_path):
+                        print("[finetune] skipping merged export: base is "
+                              "int8-quantized and vla_path is not a local "
+                              "checkpoint to re-merge against; use "
+                              "merge_lora_weights_and_save.py offline")
+                        return
+                    from openvla_oft_tpu.utils.hf_import import (
+                        load_openvla_checkpoint)
+
+                    _, host_base, _ = load_openvla_checkpoint(cfg.vla_path)
+                    host_base = {k: host_base[k] for k in
+                                 ("llm", "vision_backbone", "projector")}
+                else:
+                    host_base = jax.tree_util.tree_map(np.asarray, base)
+                host_lora = jax.tree_util.tree_map(
+                    np.asarray, jax.device_get(state.trainables["lora"]))
+                with jax.default_device(jax.devices("cpu")[0]):
+                    merged = merge_lora_into_params(
+                        jax.tree_util.tree_map(jnp.asarray, host_base),
+                        jax.tree_util.tree_map(jnp.asarray, host_lora),
+                        rank=cfg.lora_rank,
+                        alpha=float(min(cfg.lora_rank, 16)))
+                export_openvla_checkpoint(model_cfg, merged, chkpt_dir,
+                                          norm_stats=norm_stats)
+                print(f"[finetune] merged LoRA checkpoint -> {chkpt_dir}")
+
         for i, batch in enumerate(prefetched):
-            step = start + i
-            if step >= cfg.max_steps:
+            micro = start + i
+            # max_steps counts OPTIMIZER steps (reference breaks on
+            # log_step==max_steps, finetune.py:1132): with gradient
+            # accumulation the loop runs max_steps*G micro-batches, and all
+            # cadences/naming below use the gradient step.
+            grad_step = micro // G
+            if grad_step >= cfg.max_steps:
                 break
             state, m = step_fn(state, batch)
             metrics.commit(**{k: float(v) for k, v in m.items()})
-            if step % cfg.wandb_log_freq == 0:
-                smoothed = metrics.push(step)
-                if step % (cfg.wandb_log_freq * 10) == 0:
-                    print(f"[step {step}] " + " ".join(
+            at_boundary = (micro + 1) % G == 0
+            if cfg.use_diffusion and at_boundary \
+                    and (grad_step + 1) % cfg.diffusion_sample_freq == 0:
+                dm = sample_fn(state, batch, jax.random.PRNGKey(grad_step))
+                metrics.commit(**{k: float(v) for k, v in dm.items()})
+            if grad_step % cfg.wandb_log_freq == 0 and (G == 1 or at_boundary):
+                smoothed = metrics.push(grad_step)
+                if grad_step % (cfg.wandb_log_freq * 10) == 0:
+                    print(f"[step {grad_step}] " + " ".join(
                         f"{k}={v:.4f}" for k, v in sorted(smoothed.items())))
-            if cfg.use_val_set and (step + 1) % cfg.val_freq == 0:
-                run_validation(state, step)
+            if cfg.use_val_set and at_boundary \
+                    and (grad_step + 1) % cfg.val_freq == 0:
+                run_validation(state, grad_step)
             # Preemption (SIGTERM from the TPU VM scheduler) latches a flag;
             # checkpoint at the step boundary so resume loses zero steps
             # (SURVEY.md §5.3 — the reference has no preemption handling).
             preempted = guard.should_stop
-            if ((step + 1) % cfg.save_freq == 0 or step + 1 == cfg.max_steps
-                    or preempted):
-                save_step = 0 if cfg.save_latest_checkpoint_only else step + 1
-                save_checkpoint(ckpt_dir, save_step,
-                                {"trainables": state.trainables,
-                                 "opt_state": state.opt_state})
-                print(f"[finetune] saved checkpoint at step {step + 1}")
-                if cfg.merge_lora_during_training and cfg.use_lora:
-                    # In-training LoRA merge + reference-format export
-                    # (finetune.py:663-675). Host-side NumPy merge so the
-                    # device never holds a second full weight copy.
-                    from openvla_oft_tpu.training.lora import (
-                        merge_lora_into_params)
-                    from openvla_oft_tpu.utils.hf_import import (
-                        export_openvla_checkpoint)
-
-                    host_base = jax.tree_util.tree_map(np.asarray, base)
-                    host_lora = jax.tree_util.tree_map(
-                        np.asarray, jax.device_get(state.trainables["lora"]))
-                    with jax.default_device(jax.devices("cpu")[0]):
-                        merged = merge_lora_into_params(
-                            jax.tree_util.tree_map(jnp.asarray, host_base),
-                            jax.tree_util.tree_map(jnp.asarray, host_lora),
-                            rank=cfg.lora_rank,
-                            alpha=float(min(cfg.lora_rank, 16)))
-                    out = os.path.join(run_dir, f"merged--{step + 1}_chkpt")
-                    export_openvla_checkpoint(model_cfg, merged, out,
-                                              norm_stats=norm_stats)
-                    print(f"[finetune] merged LoRA checkpoint -> {out}")
-                # Reference-format per-module .pt files
-                # ({name}--{step}_checkpoint.pt, finetune.py:614-656) so the
-                # reference eval stack consumes our training outputs directly.
-                from openvla_oft_tpu.training.checkpoint import export_module_pt
-
-                host_tr = jax.device_get(state.trainables)
-                for mod in ("action_head", "proprio_projector",
-                            "noisy_action_projector"):
-                    if mod in host_tr:
-                        export_module_pt(host_tr[mod], mod, run_dir, step + 1)
-                if cfg.use_film and "film" in host_tr:
-                    from openvla_oft_tpu.training.checkpoint import (
-                        export_film_vision_backbone_pt)
-
-                    export_film_vision_backbone_pt(
-                        jax.device_get(base["vision_backbone"]),
-                        host_tr["film"], model_cfg, run_dir, step + 1)
+            if (at_boundary and ((grad_step + 1) % cfg.save_freq == 0
+                                 or grad_step + 1 == cfg.max_steps)) \
+                    or preempted:
+                save_training_checkpoint(state, grad_step + 1)
             if preempted:
                 print(f"[finetune] preempted (signal "
                       f"{guard.received_signal}); checkpoint saved at step "
-                      f"{step + 1} — resume with --resume True")
+                      f"{grad_step + 1} — resume with --resume True")
                 break
 
         guard.__exit__()
