@@ -79,6 +79,14 @@ def attention(
 
         return flash_attention(q, k, v, is_causal=is_causal, key_valid=key_valid,
                                bidir_mask=bidir_mask, bidir_block=bidir_block)
+    if bidir_mask is None and bidir_block is not None:
+        # The dense path must honor the static window exactly like the flash
+        # kernel does (it synthesizes the same 1-D mask) — dropping it here
+        # would silently change semantics with the sequence-length-dependent
+        # "auto" flash dispatch.
+        w0, wl = bidir_block
+        bidir_mask = jnp.zeros((q.shape[0], k.shape[1]), bool
+                               ).at[:, w0:w0 + wl].set(True)
     if mask is None and (key_valid is not None or bidir_mask is not None):
         # Build the equivalent dense mask for the XLA path.
         b, s = q.shape[0], q.shape[1]

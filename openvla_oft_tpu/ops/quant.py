@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 Params = Dict[str, Any]
 
+# Subtrees never quantized: the output head's kernel is consumed directly by
+# lm_logits (not via the quant-aware linear()), and bitsandbytes load_in_8bit
+# (the reference analog) keeps the lm_head in high precision too.
+_QUANT_EXCLUDE = frozenset({"lm_head"})
+
 
 def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """(in, out) float -> {"kernel": int8 (in, out), "scale_w": f32 (out,)}."""
@@ -166,8 +171,10 @@ def quantize_tree_lowmem(params: Params, min_dim: int = 1024) -> Params:
     def q_flat(k):
         return quantize_weight(k)
 
-    def visit(node):
+    def visit(node, name=""):
         if isinstance(node, dict):
+            if name in _QUANT_EXCLUDE:
+                return node
             if "kernel" in node and isinstance(node["kernel"], jnp.ndarray) \
                     and node["kernel"].ndim >= 2 \
                     and node["kernel"].dtype != jnp.int8 \
@@ -177,7 +184,7 @@ def quantize_tree_lowmem(params: Params, min_dim: int = 1024) -> Params:
                 node["kernel"] = q["kernel"]
                 node["scale_w"] = q["scale_w"]
                 return node
-            return {key: visit(v) for key, v in node.items()}
+            return {key: visit(v, key) for key, v in node.items()}
         if isinstance(node, list):
             return [visit(v) for v in node]
         return node
@@ -196,8 +203,14 @@ def quantize_tree(params: Params, min_dim: int = 1024,
     """
     assert bits in (4, 8)
 
-    def visit(node):
+    def visit(node, name=""):
         if isinstance(node, dict):
+            if name in _QUANT_EXCLUDE:
+                # lm_head stays high precision: lm_logits consumes the kernel
+                # directly (not through the quant-aware linear()), and the
+                # reference analog (bitsandbytes load_in_8bit) likewise skips
+                # the output head.
+                return node
             if "kernel" in node and isinstance(node["kernel"], jnp.ndarray) \
                     and node["kernel"].ndim >= 2 \
                     and node["kernel"].dtype != jnp.int8 \
@@ -213,7 +226,7 @@ def quantize_tree(params: Params, min_dim: int = 1024,
                     out["kernel_q4"] = q["kernel_q4"]
                     out["scale_w4"] = q["scale_w4"]
                 return out
-            return {k: visit(v) for k, v in node.items()}
+            return {k: visit(v, k) for k, v in node.items()}
         if isinstance(node, list):
             return [visit(v) for v in node]
         return node

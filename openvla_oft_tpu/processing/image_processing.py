@@ -29,13 +29,25 @@ from openvla_oft_tpu.config import OpenVLAConfig, ViTConfig
 
 
 def jpeg_roundtrip(image: np.ndarray, quality: int = 95) -> np.ndarray:
-    """Host-side JPEG encode/decode (openvla_utils.py:516-539 artifact)."""
-    from PIL import Image
+    """Host-side JPEG encode/decode (openvla_utils.py:516-539 artifact).
 
-    buf = io.BytesIO()
-    Image.fromarray(image).save(buf, format="JPEG", quality=quality)
-    buf.seek(0)
-    return np.asarray(Image.open(buf).convert("RGB"))
+    Uses TF's libjpeg wrapper when available — the reference artifact comes
+    from tf.image.encode_jpeg/tf.io.decode_image, and PIL's encoder differs
+    in DCT/subsampling rounding (±1 pixel shifts that defeat the bit-parity
+    purpose of the round trip). PIL is the fallback when TF is absent."""
+    try:
+        import tensorflow as tf
+
+        enc = tf.io.encode_jpeg(tf.constant(image), quality=quality)
+        return tf.io.decode_image(enc, expand_animations=False,
+                                  dtype=tf.uint8).numpy()
+    except ImportError:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(image).save(buf, format="JPEG", quality=quality)
+        buf.seek(0)
+        return np.asarray(Image.open(buf).convert("RGB"))
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -78,7 +90,12 @@ def center_crop_resize(image: jnp.ndarray, crop_scale: float = 0.9,
         return a0 * (1 - w1) + a1 * w1
 
     out = sample_axis(sample_axis(xf, ys, 1), xs, 2)
-    out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    # uint8 conversion matches the reference exactly: it goes through
+    # tf.image.convert_image_dtype(..., saturate=True), which computes
+    # floor(v * 255.5) on the [0,1] float image — NOT round(). In 0..255
+    # space that is floor(out + out/510); round() differs by 1 LSB on ~1/3
+    # of interpolated pixels (measured against TF).
+    out = jnp.clip(jnp.floor(out + out / 510.0), 0, 255).astype(jnp.uint8)
     return out if batched else out[0]
 
 

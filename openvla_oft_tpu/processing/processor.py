@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 from typing import List, Optional, Sequence, Union
 
+import zlib
+
 import numpy as np
 
 from openvla_oft_tpu.config import OpenVLAConfig
@@ -54,7 +56,10 @@ class FakeLlamaTokenizer:
         for w in text.replace("\n", " \n ").split(" "):
             if not w:
                 continue
-            ids.append(3 + (hash(w) % 28000))
+            # crc32, NOT builtin hash(): str hash is salted per process
+            # (PYTHONHASHSEED), which would make "deterministic" ids differ
+            # across runs/hosts and break golden reproducibility
+            ids.append(3 + (zlib.crc32(w.encode()) % 28000))
         if text.endswith(" "):
             ids.append(EMPTY_TOKEN_ID)
         return {"input_ids": ids, "attention_mask": [1] * len(ids)}
@@ -91,7 +96,11 @@ class PrismaticProcessor:
         tok = self.tokenizer(texts, add_special_tokens=True)
         ids_list = tok["input_ids"]
         max_len = max(len(x) for x in ids_list)
-        pad_id = getattr(self.tokenizer, "pad_token_id", 32000)
+        # stock Llama-2 tokenizers expose pad_token_id = None (no pad token
+        # added); getattr's default never applies then
+        pad_id = getattr(self.tokenizer, "pad_token_id", None)
+        if pad_id is None:
+            pad_id = 32000
         input_ids = np.full((len(texts), max_len), pad_id, np.int32)
         attn = np.zeros((len(texts), max_len), np.int32)
         for i, ids in enumerate(ids_list):

@@ -38,7 +38,9 @@ class PurePromptBuilder(PromptBuilder):
         if self.turn_count % 2 == 0:
             wrapped = f"In: {message}\nOut: "
         else:
-            wrapped = f"{message}</s>"
+            # reference base_prompter.py: empty gpt turns become " " so the
+            # sequence tokenizes as [29871, </s>], not bare </s>
+            wrapped = f"{message if message != '' else ' '}</s>"
         self.prompt += wrapped
         self.turn_count += 1
         return wrapped
@@ -69,7 +71,9 @@ class LLaMa2ChatPromptBuilder(PromptBuilder):
         elif self.turn_count % 2 == 0:
             wrapped = f"[INST] {message} [/INST] "
         else:
-            wrapped = f"{message}</s>"
+            # reference base_prompter.py: empty gpt turns become " " so the
+            # sequence tokenizes as [29871, </s>], not bare </s>
+            wrapped = f"{message if message != '' else ' '}</s>"
         self.prompt += wrapped
         self.turn_count += 1
         return wrapped

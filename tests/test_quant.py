@@ -219,3 +219,32 @@ def test_int8_straight_through_gradients():
         assert np.abs(q).max() > 0, f"zero int8-path gradient at {key}"
         ratio = np.linalg.norm(q) / (np.linalg.norm(fp) + 1e-12)
         assert 0.5 < ratio < 2.0, f"{key}: |q|/|fp|={ratio:.3f}"
+
+
+def test_quantize_tree_excludes_lm_head():
+    """lm_logits consumes the lm_head kernel directly (not via the
+    quant-aware linear()), so quantize_tree must leave it in high precision
+    — like bitsandbytes load_in_8bit does (round-2 review finding: a
+    quantized lm_head silently corrupted discrete decoding)."""
+    import jax
+
+    from openvla_oft_tpu.config import TINY_LLAMA
+    from openvla_oft_tpu.models.llama import init_llama_params, lm_logits
+    from openvla_oft_tpu.ops.quant import quantize_tree, quantize_tree_lowmem
+
+    p = init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA,
+                          dtype=jnp.float32)
+    for fn in (lambda t: quantize_tree(t, min_dim=1),
+               lambda t: quantize_tree_lowmem(
+                   jax.tree_util.tree_map(lambda x: x, t), min_dim=1)):
+        q = fn(p)
+        assert q["lm_head"]["kernel"].dtype == jnp.float32
+        assert "scale_w" not in q["lm_head"]
+        # blocks DID quantize
+        assert q["layers"]["attn"]["wq"]["kernel"].dtype == jnp.int8
+        # and logits still compute
+        h = jnp.ones((1, 2, TINY_LLAMA.hidden_size), jnp.float32)
+        assert np.isfinite(np.asarray(lm_logits(q, h))).all()
+    # int4 likewise must not delete the lm_head kernel
+    q4 = quantize_tree(p, min_dim=1, bits=4)
+    assert "kernel" in q4["lm_head"] and "kernel_q4" not in q4["lm_head"]
