@@ -11,9 +11,11 @@ this image — the script degrades to a clear error at env-creation time).
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import os
 import sys
+import time
 from collections import deque
 from pathlib import Path
 from typing import Optional, Union
@@ -95,6 +97,35 @@ class GenerateConfig:
     # fmt: on
 
 
+DATE_TIME = time.strftime("%Y_%m_%d-%H_%M_%S")
+
+
+def check_unnorm_key(cfg: GenerateConfig, model) -> None:
+    """Resolve the action-unnorm key against the checkpoint's norm_stats
+    (reference run_libero_eval.py:177-190): default to the task suite name,
+    fall back to its `_no_noops` variant, and fail loudly when absent."""
+    if model.norm_stats is None:
+        return  # random-init smoke checkpoints carry no stats
+    unnorm_key = str(cfg.unnorm_key) or cfg.task_suite_name
+    if unnorm_key not in model.norm_stats \
+            and f"{unnorm_key}_no_noops" in model.norm_stats:
+        unnorm_key = f"{unnorm_key}_no_noops"
+    assert unnorm_key in model.norm_stats, \
+        f"Action un-norm key {unnorm_key} not found in VLA `norm_stats`!"
+    cfg.unnorm_key = unnorm_key
+
+
+def load_initial_states(cfg: GenerateConfig, task_suite, task_id: int):
+    """Default suite states + the optional custom-states JSON
+    (reference run_libero_eval.py:225-238)."""
+    initial_states = task_suite.get_task_init_states(task_id)
+    if cfg.initial_states_path != "DEFAULT":
+        with open(cfg.initial_states_path) as f:
+            all_initial_states = json.load(f)
+        return initial_states, all_initial_states
+    return initial_states, None
+
+
 def validate_config(cfg: GenerateConfig) -> None:
     """Reference run_libero_eval.py:131-141."""
     assert cfg.pretrained_checkpoint, "pretrained_checkpoint must not be empty!"
@@ -168,29 +199,38 @@ def run_episode(cfg, env, task_description, model, resize_size, processor,
     max_steps = TASK_MAX_STEPS[cfg.task_suite_name]
     action_queue: deque = deque(maxlen=cfg.num_open_loop_steps)
     success = False
-    while t < max_steps + cfg.num_steps_wait:
-        if t < cfg.num_steps_wait:
-            obs, _, done, _ = env.step(
-                get_libero_dummy_action(cfg.model_family))
+    # One episode's failure must not kill a multi-hour eval: the reference
+    # wraps the step loop and counts the episode as a failure
+    # (run_libero_eval.py:313-356).
+    try:
+        while t < max_steps + cfg.num_steps_wait:
+            if t < cfg.num_steps_wait:
+                obs, _, done, _ = env.step(
+                    get_libero_dummy_action(cfg.model_family))
+                t += 1
+                continue
+            observation, img = prepare_observation(obs, resize_size)
+            replay_images.append(img)
+            if len(action_queue) == 0:
+                actions = get_action(
+                    cfg, model, observation, task_description,
+                    processor=processor, action_head=action_head,
+                    proprio_projector=proprio_projector,
+                    noisy_action_projector=noisy_action_projector,
+                    use_film=cfg.use_film)
+                action_queue.extend(actions)
+            action = action_queue.popleft()
+            action = process_action(action, cfg.model_family)
+            obs, _, done, _ = env.step(action.tolist())
+            if done:
+                success = True
+                break
             t += 1
-            continue
-        observation, img = prepare_observation(obs, resize_size)
-        replay_images.append(img)
-        if len(action_queue) == 0:
-            actions = get_action(
-                cfg, model, observation, task_description,
-                processor=processor, action_head=action_head,
-                proprio_projector=proprio_projector,
-                noisy_action_projector=noisy_action_projector,
-                use_film=cfg.use_film)
-            action_queue.extend(actions)
-        action = action_queue.popleft()
-        action = process_action(action, cfg.model_family)
-        obs, _, done, _ = env.step(action.tolist())
-        if done:
-            success = True
-            break
-        t += 1
+    except Exception as e:
+        msg = f"Episode error: {e}"
+        print(msg)
+        if log_file:
+            log_file.write(msg + "\n")
     return success, replay_images
 
 
@@ -199,15 +239,31 @@ def run_task(cfg, task_suite, task_id, model, resize_size, processor,
              total_episodes, total_successes, log_file=None):
     """Reference run_libero_eval.py:360-456."""
     task = task_suite.get_task(task_id)
-    initial_states = task_suite.get_task_init_states(task_id)
+    initial_states, all_initial_states = load_initial_states(cfg, task_suite,
+                                                             task_id)
     env, task_description = get_libero_env(task, cfg.model_family,
                                            resolution=cfg.env_img_res)
     task_episodes, task_successes = 0, 0
     for episode_idx in range(cfg.num_trials_per_task):
+        if all_initial_states is not None:
+            # custom-states protocol (reference run_libero_eval.py:388-404):
+            # skip episodes whose expert demo failed
+            task_key = task_description.replace(" ", "_")
+            ep = all_initial_states[task_key][f"demo_{episode_idx}"]
+            if not ep["success"]:
+                msg = (f"Skipping task {task_id} episode {episode_idx} due "
+                       f"to failed expert demo!")
+                print(msg)
+                if log_file:
+                    log_file.write(msg + "\n")
+                continue
+            initial_state = np.array(ep["initial_state"])
+        else:
+            initial_state = initial_states[episode_idx]
         success, replay_images = run_episode(
             cfg, env, task_description, model, resize_size, processor,
             action_head, proprio_projector, noisy_action_projector,
-            initial_state=initial_states[episode_idx], log_file=log_file)
+            initial_state=initial_state, log_file=log_file)
         task_episodes += 1
         total_episodes += 1
         if success:
@@ -231,6 +287,7 @@ def eval_libero(cfg: GenerateConfig) -> float:
     set_seed_everywhere(cfg.seed)
     model, processor, action_head, proprio_projector, noisy_action_projector = \
         initialize_model(cfg)
+    check_unnorm_key(cfg, model)
     resize_size = get_image_resize_size(cfg)
 
     from libero.libero import benchmark
@@ -240,10 +297,18 @@ def eval_libero(cfg: GenerateConfig) -> float:
     num_tasks = task_suite.n_tasks
 
     os.makedirs(cfg.local_log_dir, exist_ok=True)
-    run_id = f"EVAL-{cfg.task_suite_name}-{cfg.model_family}-seed{cfg.seed}"
+    # timestamped run id (reference :196) so reruns never overwrite logs
+    run_id = f"EVAL-{cfg.task_suite_name}-{cfg.model_family}-{DATE_TIME}" \
+             f"-seed{cfg.seed}"
     if cfg.run_id_note:
         run_id += f"--{cfg.run_id_note}"
     log_file = open(os.path.join(cfg.local_log_dir, run_id + ".txt"), "w")
+    wandb_run = None
+    if cfg.use_wandb:
+        import wandb
+
+        wandb_run = wandb.init(entity=cfg.wandb_entity,
+                               project=cfg.wandb_project, name=run_id)
 
     total_episodes, total_successes = 0, 0
     for task_id in range(num_tasks):
@@ -257,6 +322,10 @@ def eval_libero(cfg: GenerateConfig) -> float:
     print(f"Overall success rate: {rate:.2%}")
     log_file.write(f"Overall success rate: {rate:.2%}\n")
     log_file.close()
+    if wandb_run is not None:
+        wandb_run.log({"success_rate/total": rate,
+                       "num_episodes/total": total_episodes})
+        wandb_run.finish()
     return rate
 
 

@@ -164,7 +164,9 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
     return OpenVLAPolicy(
         cfg=model_cfg, platform=platform, params=params, norm_stats=norm_stats,
         head=head, tokenizer=tokenizer,
-        num_diffusion_steps=getattr(cfg, "num_diffusion_steps", 50))
+        num_diffusion_steps=getattr(cfg, "num_diffusion_steps", 50),
+        num_diffusion_steps_inference=getattr(
+            cfg, "num_diffusion_steps_inference", None))
 
 
 def _try_tokenizer(ckpt: str):

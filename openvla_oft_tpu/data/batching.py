@@ -48,16 +48,21 @@ class LengthGroupedBatcher:
                 n_buffered -= self.batch_size
                 pools[b] = []
             elif n_buffered >= self.buffer_size:
-                # flush the fullest pool to bound memory
+                # flush the fullest pool to bound memory — as a SHORT batch
+                # when it holds < batch_size items (the old code removed the
+                # items but yielded nothing, silently dropping them and
+                # leaving n_buffered permanently over the cap)
                 fullest = max(pools, key=lambda k: len(pools[k]))
-                take = pools[fullest][: self.batch_size]
-                pools[fullest] = pools[fullest][self.batch_size:]
-                if len(take) == self.batch_size:
+                take = pools[fullest]
+                pools[fullest] = []
+                n_buffered -= len(take)
+                if take:
                     yield fullest, take
-                    n_buffered -= self.batch_size
-        # drain remaining full batches
+        # drain EVERYTHING at end of stream, short final batches included —
+        # dropping the tail would silently lose examples on finite passes
+        # (validation / conversion); the padded collator handles any size
         for b, pool in pools.items():
-            while len(pool) >= self.batch_size:
+            while pool:
                 yield b, pool[: self.batch_size]
                 pool = pool[self.batch_size:]
 

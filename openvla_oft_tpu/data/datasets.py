@@ -64,9 +64,14 @@ class RLDSBatchTransform:
         action_ids = self.action_tokenizer(actions).reshape(-1).tolist()
         ids = ids + action_ids + [STOP_INDEX]
 
+        # Reference semantics (datasets.py:74-77): ALL action tokens + STOP
+        # are unmasked, then predict_stop_token=False re-masks only the final
+        # STOP label. (The old `keep = len(action_ids)` form inverted this —
+        # it supervised STOP but masked the FIRST action token.)
         labels = np.asarray(ids, np.int32).copy()
-        keep = len(action_ids) + (1 if self.predict_stop_token else 0)
-        labels[:len(labels) - keep] = IGNORE_INDEX
+        labels[:len(labels) - (len(action_ids) + 1)] = IGNORE_INDEX
+        if not self.predict_stop_token:
+            labels[-1] = IGNORE_INDEX
 
         pixels = np.asarray(self.processor._transform(
             np.stack([np.asarray(im, np.uint8) for im in images])))

@@ -82,25 +82,38 @@ class ActionServer:
     def run(self, host: str = "0.0.0.0", port: int = 8777,
             background: bool = False):
         try:
-            return self._run_fastapi(host, port)
+            return self._run_fastapi(host, port, background)
         except ImportError:
             return self._run_stdlib(host, port, background)
 
-    def _run_fastapi(self, host, port):
-        from fastapi import FastAPI
+    def _run_fastapi(self, host, port, background=False):
+        from fastapi import FastAPI, Request
         from fastapi.responses import JSONResponse
         import uvicorn
 
         app = FastAPI()
 
         @app.post("/act")
-        def act(payload: Dict[str, Any]):
+        async def act(request: Request):
+            # Decode the raw body with the json-numpy hook: the reference
+            # relies on json_numpy.patch() globally patching json before
+            # FastAPI imports; FastAPI's own body parse (plain json.loads)
+            # would leave {'__numpy__': ...} dicts un-decoded and every
+            # standard client request would fail the image check.
+            payload = json_numpy.loads((await request.body()).decode())
             result = handle_act_payload(payload, self.predict)
             if isinstance(result, np.ndarray):
                 return JSONResponse(json.loads(json_numpy.dumps(result)))
             return JSONResponse(result)
 
-        uvicorn.run(app, host=host, port=port)
+        config = uvicorn.Config(app, host=host, port=port, log_level="warning")
+        server = uvicorn.Server(config)
+        self._uvicorn = server
+        if background:
+            t = threading.Thread(target=server.run, daemon=True)
+            t.start()
+            return server
+        server.run()
 
     def _run_stdlib(self, host, port, background=False):
         handler = type("Handler", (_StdlibHandler,), {"predict": staticmethod(self.predict)})
@@ -114,6 +127,8 @@ class ActionServer:
     def shutdown(self):
         if self._httpd is not None:
             self._httpd.shutdown()
+        if getattr(self, "_uvicorn", None) is not None:
+            self._uvicorn.should_exit = True
 
 
 def get_action_from_server(observation: Dict[str, Any],

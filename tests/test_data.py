@@ -190,3 +190,43 @@ def test_npz_dataset_tf_free(tmp_path):
     it_eval, _ = make_npz_iterator(str(tmp_path / "npz_root"), "libero_npz",
                                    transform, LIBERO, train=False)
     assert len(list(it_eval)) == 15
+
+
+def test_predict_stop_token_false_masks_only_stop():
+    """predict_stop_token=False must re-mask ONLY the final STOP label
+    (reference datasets.py:74-77) — the round-2 review caught the old form
+    supervising STOP while masking the FIRST action token."""
+    proc = PrismaticProcessor(CFG)
+    transform = RLDSBatchTransform(proc, ActionTokenizer(), LIBERO,
+                                   predict_stop_token=False)
+    ds = DummyDataset(transform, image_size=TINY_DINOV2.image_size,
+                      num_samples=1, num_images=1)
+    ex = next(iter(ds))
+    chunk = LIBERO.chunk_len
+    supervised = ex["labels"] != IGNORE_INDEX
+    assert supervised.sum() == chunk                 # all action tokens
+    assert ex["labels"][-1] == IGNORE_INDEX          # STOP masked
+    # every supervised label is an action token (> ACTION_TOKEN_BEGIN_IDX)
+    assert (ex["labels"][supervised] > 31743).all()
+
+
+def test_length_grouped_batcher_flush_keeps_examples():
+    """Buffer flush must never silently drop examples: when the fullest pool
+    holds < batch_size items it flushes as a short batch (round-2 review:
+    the old flush removed the items and yielded nothing)."""
+    from openvla_oft_tpu.data.batching import LengthGroupedBatcher
+
+    def examples():
+        # round-robin over three length classes so no pool ever reaches
+        # batch_size before the buffer cap trips
+        lengths = [60, 90, 120]
+        for i in range(60):
+            yield {"input_ids": [0] * lengths[i % 3]}
+
+    batcher = LengthGroupedBatcher(batch_size=32, buckets=(64, 96, 128),
+                                   buffer_batches=2)
+    out = list(batcher(examples()))
+    total = sum(len(exs) for _, exs in out)
+    assert total == 60, total  # nothing dropped
+    for bucket, exs in out:
+        assert all(len(e["input_ids"]) <= bucket for e in exs)

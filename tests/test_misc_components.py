@@ -136,10 +136,10 @@ def test_length_grouped_batcher():
     assert batches, "no batches emitted"
     seen = 0
     for bucket, group in batches:
-        assert len(group) == 4
+        assert len(group) <= 4
         assert all(len(e["input_ids"]) <= bucket for e in group)
-        seen += 4
-    assert seen >= 48  # most examples batched (full groups only)
+        seen += len(group)
+    assert seen == 64  # every example batched (short tail batches included)
 
 
 def test_gripper_conventions():

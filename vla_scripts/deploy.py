@@ -72,7 +72,12 @@ class OpenVLAServer:
                 self.action_head = get_action_head(cfg, self.vla.cfg.llm_dim)
             except (AssertionError, FileNotFoundError):
                 pass
-        if cfg.unnorm_key and self.vla.norm_stats:
+        if self.vla.norm_stats:
+            # Hard-assert at STARTUP like the reference (deploy.py:68): with
+            # stats loaded, an empty/wrong unnorm_key would otherwise make
+            # every /act request return 'error' (HTTP 200) at runtime.
+            assert cfg.unnorm_key, \
+                "unnorm_key must be set when the checkpoint carries norm_stats"
             assert str(cfg.unnorm_key) in self.vla.norm_stats, \
                 f"Action un-norm key {cfg.unnorm_key} not found in norm_stats!"
         self.processor = get_processor(cfg)
