@@ -124,16 +124,17 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
     # `vision_backbone--{step}_checkpoint.pt` and reloads it at eval
     # (`_apply_film_to_vla`, openvla_utils.py:311-349).
     if getattr(cfg, "use_film", False) and os.path.isdir(ckpt):
-        try:
-            from openvla_oft_tpu.training.checkpoint import (
-                import_film_vision_backbone_pt)
+        # LOUD, like the reference (_apply_film_to_vla's find_checkpoint_file
+        # assert is uncaught): silently falling back to the un-FiLMed base
+        # backbone would produce plausible-but-wrong actions for a
+        # FiLM-trained policy.
+        from openvla_oft_tpu.training.checkpoint import (
+            import_film_vision_backbone_pt)
 
-            vb_path = find_checkpoint_file(ckpt, "vision_backbone")
-            backbone, film = import_film_vision_backbone_pt(vb_path, model_cfg)
-            params["vision_backbone"] = backbone
-            params["film"] = film
-        except (AssertionError, FileNotFoundError):
-            pass  # no FiLM checkpoint present; keep loaded/random backbone
+        vb_path = find_checkpoint_file(ckpt, "vision_backbone")
+        backbone, film = import_film_vision_backbone_pt(vb_path, model_cfg)
+        params["vision_backbone"] = backbone
+        params["film"] = film
 
     # Serving-path weight fusion (wqkv/gate_up): one matmul + one
     # quant/dequant epilogue per projection group, numerics-exact

@@ -20,6 +20,8 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from openvla_oft_tpu.models.vision_backbone import _featurizer_names
+
 Params = Dict[str, Any]
 
 
@@ -114,19 +116,50 @@ def import_film_vision_backbone_pt(path: str, cfg) -> tuple:
 
     sd = load_module_pt(path)
     get = dict_getter(sd)
-    names = ("featurizer", "fused_featurizer")[: len(cfg.vision_configs)]
+    names = _featurizer_names(cfg)
     backbone: Params = {}
     film: Params = {}
     for name, vcfg in zip(names, cfg.vision_configs):
         prefix = f"vision_backbone.{name}."
 
-        # Remap FiLM-wrapped block names back to plain timm names.
+        # Remap FiLM-wrapped block names back to plain timm names, resolving
+        # peft-LoRA wrapping along the way: the reference applies
+        # get_peft_model(target_modules="all-linear") BEFORE the FiLM wrap
+        # (finetune.py:862-884), so real saved backbones name their linears
+        # `<module>.base_layer.weight` with `lora_A/lora_B.default.weight`
+        # factors — which must be MERGED (W + alpha/r * B@A), not dropped.
+        def _resolve(cand: str, _np=_np_mod):
+            try:
+                return get(cand)
+            except KeyError:
+                pass
+            if cand.endswith(".weight"):
+                stem = cand[: -len(".weight")]
+                w = _np.asarray(get(f"{stem}.base_layer.weight"), _np.float32)
+                try:
+                    a = _np.asarray(get(f"{stem}.lora_A.default.weight"),
+                                    _np.float32)
+                    b = _np.asarray(get(f"{stem}.lora_B.default.weight"),
+                                    _np.float32)
+                    r = a.shape[0]
+                    # reference alpha convention: min(rank, 16) (finetune.py)
+                    w = w + (min(r, 16) / r) * (b @ a)
+                except KeyError:
+                    pass
+                return w
+            if cand.endswith(".bias"):
+                return get(f"{cand[: -len('.bias')]}.base_layer.bias")
+            raise KeyError(cand)
+
         def film_get(key: str, _prefix=prefix):
             if key.startswith(_prefix + "blocks."):
                 rest = key[len(_prefix + "blocks."):]
                 idx, sub = rest.split(".", 1)
-                return get(f"{_prefix}blocks.{idx}.block.{sub}")
-            return get(key)
+                try:
+                    return _resolve(f"{_prefix}blocks.{idx}.block.{sub}")
+                except KeyError:
+                    pass  # plain (un-FiLM-wrapped) layout below
+            return _resolve(key)
 
         backbone[name] = port_timm_vit(film_get, vcfg, prefix=prefix)
         L = vcfg.depth
@@ -188,7 +221,7 @@ def export_film_vision_backbone_pt(backbone: Params, film: Params, cfg,
     import torch
 
     sd: dict = {}
-    names = ("featurizer", "fused_featurizer")[: len(cfg.vision_configs)]
+    names = _featurizer_names(cfg)
     for name, vcfg in zip(names, cfg.vision_configs):
         vp = backbone[name]
         pre = f"vision_backbone.{name}."

@@ -23,9 +23,11 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 from openvla_oft_tpu.config import OpenVLAConfig
+from openvla_oft_tpu.models.vision_backbone import _featurizer_names
 from openvla_oft_tpu.utils.weights import (
     port_fc_mlp,
     port_hf_llama,
+    port_hf_phi,
     port_timm_vit,
 )
 
@@ -74,15 +76,20 @@ def load_openvla_checkpoint(
         os.path.join(ckpt_dir, "config.json"))
     get = _SafetensorsIndex(ckpt_dir)
 
+    from openvla_oft_tpu.config import PhiConfig
+
+    # dispatch the LLM porter by config family (Phi names its projections
+    # self_attn.dense / has no post_attention_layernorm)
+    port_llm = port_hf_phi if isinstance(cfg.llm, PhiConfig) else port_hf_llama
     params: Params = {
-        "llm": port_hf_llama(get, cfg.llm, prefix="language_model.",
-                             dtype=dtype_np),
+        "llm": port_llm(get, cfg.llm, prefix="language_model.",
+                        dtype=dtype_np),
         "projector": port_fc_mlp(
             get, ("fc1", "fc2", "fc3") if cfg.use_fused_vision_backbone
             else ("fc1", "fc2"), prefix="projector.", dtype=dtype_np),
         "vision_backbone": {},
     }
-    names = ("featurizer", "fused_featurizer")[: len(cfg.vision_configs)]
+    names = _featurizer_names(cfg)
     for name, vcfg in zip(names, cfg.vision_configs):
         params["vision_backbone"][name] = port_timm_vit(
             get, vcfg, prefix=f"vision_backbone.{name}.", dtype=dtype_np)
@@ -131,14 +138,22 @@ def export_llama(params: Params, cfg, prefix: str = "language_model.") -> Dict[s
 
 
 def export_openvla_checkpoint(cfg: OpenVLAConfig, params: Params, out_dir: str,
-                              norm_stats: Optional[dict] = None) -> str:
-    """Write a reference-format checkpoint dir (safetensors + config.json)."""
+                              norm_stats: Optional[dict] = None,
+                              extras_from: Optional[str] = None) -> str:
+    """Write a reference-format checkpoint dir (safetensors + config.json).
+
+    `extras_from`: a source checkpoint dir whose tensors NOT produced by this
+    exporter (the timm featurizers' final `norm.*`, SigLIP `attn_pool.*`,
+    CLIP `norm_pre.*` — parameters after the second-to-last tap that our
+    forward never touches) are copied through verbatim, so a reference ->
+    TPU -> reference round trip is key-complete instead of silently dropping
+    them."""
     from safetensors.numpy import save_file
 
     os.makedirs(out_dir, exist_ok=True)
     tensors = export_llama(params["llm"], cfg.llm)
     # vision + projector
-    names = ("featurizer", "fused_featurizer")[: len(cfg.vision_configs)]
+    names = _featurizer_names(cfg)
     for name, vcfg in zip(names, cfg.vision_configs):
         vp = params["vision_backbone"][name]
         pre = f"vision_backbone.{name}."
@@ -184,6 +199,11 @@ def export_openvla_checkpoint(cfg: OpenVLAConfig, params: Params, out_dir: str,
             np.asarray(p["kernel"]).T)
         tensors[f"projector.{fc}.bias"] = np.asarray(p["bias"])
 
+    if extras_from is not None:
+        src = _SafetensorsIndex(extras_from)
+        for name in src.keys():
+            if name not in tensors:
+                tensors[name] = src(name)
     save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()},
               os.path.join(out_dir, "model.safetensors"))
     import dataclasses as _dc

@@ -282,3 +282,69 @@ def test_convert_weights_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params2["llm"]["layers"]["attn"]["wq"]["kernel"]),
         np.asarray(base["llm"]["layers"]["attn"]["wq"]["kernel"]), atol=1e-6)
+
+
+def test_film_import_peft_wrapped_checkpoint(tmp_path, rng):
+    """Real reference FiLM backbones are saved AFTER get_peft_model wraps the
+    ViT linears: keys are `<module>.base_layer.weight` with
+    lora_A/lora_B.default factors that must be MERGED, not dropped
+    (round-2 review finding). Synthesize that layout from a plain export and
+    assert the import reproduces base + alpha/r * B@A."""
+    torch = pytest.importorskip("torch")
+
+    from openvla_oft_tpu.models.vision_backbone import (
+        init_film, init_vision_backbone, vision_backbone_forward)
+    from openvla_oft_tpu.training.checkpoint import (
+        export_film_vision_backbone_pt, import_film_vision_backbone_pt)
+
+    backbone = init_vision_backbone(jax.random.PRNGKey(0), CFG,
+                                    dtype=jnp.float32)
+    film = init_film(jax.random.PRNGKey(1), CFG)
+    path = export_film_vision_backbone_pt(backbone, film, CFG, str(tmp_path),
+                                          1000)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+
+    # rewrite every block linear into the peft layout with a known LoRA
+    rank, alpha = 4, 4.0  # alpha = min(rank, 16) convention
+    gen = torch.Generator().manual_seed(0)
+    new_sd = {}
+    deltas = {}
+    for key, value in sd.items():
+        is_block_linear = (".block." in key and key.endswith(".weight")
+                          and value.ndim == 2)
+        if is_block_linear:
+            stem = key[: -len(".weight")]
+            out_d, in_d = value.shape
+            a = torch.randn(rank, in_d, generator=gen) * 0.02
+            b = torch.randn(out_d, rank, generator=gen) * 0.02
+            new_sd[f"{stem}.base_layer.weight"] = value
+            new_sd[f"{stem}.lora_A.default.weight"] = a
+            new_sd[f"{stem}.lora_B.default.weight"] = b
+            deltas[key] = (alpha / rank) * (b @ a)
+        else:
+            new_sd[key] = value
+    peft_path = str(tmp_path / "vision_backbone--2000_checkpoint.pt")
+    torch.save(new_sd, peft_path)
+
+    backbone2, film2 = import_film_vision_backbone_pt(peft_path, CFG)
+    # the imported features must equal a forward through base + merged deltas
+    assert deltas, "no block linears rewritten"
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((1, 1, 2, h, h, 3)), jnp.float32)
+    le = jnp.asarray(rng.standard_normal((1, CFG.llm_dim)), jnp.float32)
+    plain = vision_backbone_forward(backbone, CFG, pixels, film_params=film,
+                                    language_embedding=le)
+    merged = vision_backbone_forward(backbone2, CFG, pixels,
+                                     film_params=film2,
+                                     language_embedding=le)
+    # LoRA deltas were nonzero, so outputs MUST differ from the plain base...
+    assert np.abs(np.asarray(plain) - np.asarray(merged)).max() > 1e-4
+    # ...and one spot-checked kernel equals base + alpha/r * B@A exactly
+    key = next(iter(deltas))
+    qkv = np.asarray(backbone2["featurizer"]["layers"]["attn"]["qkv"]
+                     ["kernel"][0])
+    base_qkv = np.asarray(backbone["featurizer"]["layers"]["attn"]["qkv"]
+                          ["kernel"][0])
+    want = next(d for k, d in deltas.items()
+                if "featurizer.blocks.0.block.attn.qkv" in k).numpy().T
+    np.testing.assert_allclose(qkv, base_qkv + want, rtol=1e-5, atol=1e-6)

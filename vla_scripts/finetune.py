@@ -455,8 +455,10 @@ def finetune(cfg: FinetuneConfig) -> dict:
                         jax.tree_util.tree_map(jnp.asarray, host_lora),
                         rank=cfg.lora_rank,
                         alpha=float(min(cfg.lora_rank, 16)))
-                export_openvla_checkpoint(model_cfg, merged, chkpt_dir,
-                                          norm_stats=norm_stats)
+                export_openvla_checkpoint(
+                    model_cfg, merged, chkpt_dir, norm_stats=norm_stats,
+                    extras_from=cfg.vla_path
+                    if os.path.isdir(cfg.vla_path) else None)
                 print(f"[finetune] merged LoRA checkpoint -> {chkpt_dir}")
 
         for i, batch in enumerate(prefetched):

@@ -47,7 +47,10 @@ def merge(cfg: MergeConfig) -> str:
         alpha=float(min(cfg.lora_rank, 16)))
     out = cfg.output_dir or os.path.join(cfg.finetune_run_dir,
                                          f"merged--{step}_chkpt")
-    export_openvla_checkpoint(model_cfg, merged, out, norm_stats=norm_stats)
+    # extras_from keeps post-tap tensors (featurizer final norm, SigLIP
+    # attn_pool) from the base checkpoint so the merged dir is key-complete
+    export_openvla_checkpoint(model_cfg, merged, out, norm_stats=norm_stats,
+                              extras_from=cfg.base_checkpoint)
     print(f"[merge] wrote merged checkpoint to {out}")
     return out
 
