@@ -30,23 +30,51 @@ class DevicePrefetcher:
         self._drop = set(drop_keys)
         self._done = object()
         self._error: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that notices close(): returns False when stopping."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
         try:
             for batch in self._source:
+                if self._stop.is_set():
+                    return
                 batch = {k: v for k, v in batch.items() if k not in self._drop}
                 if self._sharding is not None:
                     batch = {k: jax.device_put(v, self._sharding)
                              for k, v in batch.items()}
                 else:
                     batch = {k: jax.device_put(v) for k, v in batch.items()}
-                self._queue.put(batch)
+                if not self._put(batch):
+                    return
         except BaseException as e:  # propagate into the consumer
             self._error = e
         finally:
-            self._queue.put(self._done)
+            self._put(self._done)
+
+    def close(self) -> None:
+        """Stop the worker and release buffered device batches.
+
+        Without this, a consumer that breaks early (preemption!) leaves the
+        worker parked in queue.put() holding `depth` device-resident batches
+        pinned in HBM exactly when the checkpoint save needs the memory."""
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
 
     def __iter__(self):
         return self

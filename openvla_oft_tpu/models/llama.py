@@ -194,7 +194,13 @@ def llama_model(
         is_causal = True
         key_valid = padding_mask.astype(bool) if padding_mask is not None else None
         bidir_1d = bidir_mask
-    elif bidir_mask is not None:
+    elif bidir_mask is not None or bidir_block is not None:
+        # Honor the static window on the dense path exactly like the flash
+        # kernel (dropping it here would make semantics depend on which
+        # backend the auto dispatch picked).
+        if bidir_mask is None:
+            w0, wl = bidir_block
+            bidir_mask = jnp.zeros((b, s), bool).at[:, w0:w0 + wl].set(True)
         pad = padding_mask if padding_mask is not None else jnp.ones((b, s), bool)
         mask = make_block_bidirectional_mask(pad, bidir_mask)[:, None]  # (B,1,S,S)
     elif padding_mask is not None:
@@ -303,7 +309,12 @@ def llama_decode_step(
     h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     t_max = cache.k.shape[2]
     if positions is None:
-        positions = jnp.broadcast_to(cache.index, (b, 1)).astype(jnp.int32)
+        # Default RoPE position = number of REAL (valid) cached keys per row,
+        # not the raw write index: with left-padded prefills the two differ
+        # by each row's pad count and the uniform cache.index would overstate
+        # every real token's rotary position.
+        positions = jnp.sum(cache.valid, axis=1, keepdims=True
+                            ).astype(jnp.int32)
     sin, cos = rope_sin_cos(positions, cfg.head_dim, cfg.rope_theta)
     new_valid = cache.valid | (jnp.arange(t_max)[None, :] == cache.index)
     mask = new_valid[:, None, None, :]  # (B, 1, 1, T)

@@ -204,7 +204,9 @@ def phi_decode_step(
     h, hd, rd = cfg.num_heads, cfg.head_dim, cfg.rotary_dim
     t_max = cache.k.shape[2]
     if positions is None:
-        positions = jnp.broadcast_to(cache.index, (b, 1)).astype(jnp.int32)
+        # real-key count per row (left-pad aware), like llama_decode_step
+        positions = jnp.sum(cache.valid, axis=1, keepdims=True
+                            ).astype(jnp.int32)
     sin, cos = rope_sin_cos(positions, cfg.rotary_dim, cfg.rope_theta)
     new_valid = cache.valid | (jnp.arange(t_max)[None, :] == cache.index)
     mask = new_valid[:, None, None, :]

@@ -60,8 +60,9 @@ class PreemptionGuard:
     def __exit__(self, *exc) -> None:
         for sig, prev in self._prev.items():
             try:
-                signal.signal(sig, prev)
-            except (ValueError, OSError):
+                # None = prior handler installed from C (not restorable)
+                signal.signal(sig, prev if prev is not None else signal.SIG_DFL)
+            except (ValueError, OSError, TypeError):
                 pass
         self._prev.clear()
 
@@ -70,7 +71,12 @@ class PreemptionGuard:
         if self._event.is_set():
             # Second signal: restore default and re-deliver so the user can
             # kill a save that hangs.
-            prev = self._prev.get(signum, signal.SIG_DFL)
+            prev = self._prev.get(signum)
+            if prev is None:
+                # signal.signal returned None when the prior handler was
+                # installed from C — not restorable from Python; fall back
+                # to the default disposition instead of TypeError'ing
+                prev = signal.SIG_DFL
             signal.signal(signum, prev)
             signal.raise_signal(signum)
             return

@@ -39,7 +39,10 @@ def _coerce(value: str, ty: Any) -> Any:
             return ty(value)
         except ValueError:
             return ty[value]
-    if origin in (list, tuple, Sequence):
+    import collections.abc
+
+    # get_origin(Sequence[int]) is collections.abc.Sequence, not typing.Sequence
+    if origin in (list, tuple, Sequence, collections.abc.Sequence):
         inner = typing.get_args(ty)[0] if typing.get_args(ty) else str
         items = [x for x in value.strip("[]() ").split(",") if x]
         seq = [(_coerce(x.strip(), inner)) for x in items]
@@ -62,6 +65,9 @@ def parse_args(config_cls: Type[T], argv: Optional[Sequence[str]] = None) -> T:
             i += 1
         else:
             name = arg[2:]
+            if name.replace("-", "_") in ("help", "h"):
+                _print_help(config_cls)
+                raise SystemExit(0)
             if i + 1 >= len(argv):
                 raise SystemExit(f"missing value for --{name}")
             value = argv[i + 1]

@@ -148,8 +148,12 @@ def normalize_image(img: np.ndarray, mean, std) -> np.ndarray:
         return ((u8.astype(np.float32) / 255.0 - np.asarray(mean, np.float32))
                 / np.asarray(std, np.float32))
     out = np.empty(u8.shape, np.float32)
-    m = np.ascontiguousarray(mean, np.float32)
-    s = np.ascontiguousarray(std, np.float32)
+    # the C kernel indexes mean[0..2]/std[0..2]: broadcast scalars to 3
+    # channels (the NumPy fallback broadcasts implicitly — keep them equal)
+    m = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(mean, np.float32), (3,)))
+    s = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(std, np.float32), (3,)))
     fp = ctypes.POINTER(ctypes.c_float)
     lib.normalize_image_f32(
         u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), u8.size // 3,

@@ -500,6 +500,7 @@ def finetune(cfg: FinetuneConfig) -> dict:
                 break
 
         guard.__exit__()
+        prefetched.close()  # release worker + HBM-pinned buffered batches
         metrics.finalize()
         elapsed = time.time() - t_start
         print(f"[finetune] done: {int(state.step) - start} steps in "
