@@ -134,6 +134,11 @@ def run_episode(cfg: GenerateConfig, env, task_description: str,
     except KeyboardInterrupt:
         log_message("Caught KeyboardInterrupt: terminating episode early.",
                     log_file)
+    except Exception as e:
+        # reference run_aloha_eval.py:235-239: a transient server/robot error
+        # ends THIS episode (operator still records success) instead of
+        # aborting the whole real-robot session
+        log_message(f"Episode error: {e}", log_file)
 
     user_input = input("Success? Enter 'y' or 'n': ")
     success = user_input.lower() == "y"

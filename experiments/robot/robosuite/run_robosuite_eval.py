@@ -23,6 +23,8 @@ from experiments.robot.robosuite.robosuite_utils import (
     check_bin,
     check_pick,
     check_reach,
+    convert_action_to_world,
+    crop_front_image,
     prepare_observation,
 )
 from experiments.robot.robot_utils import get_action, get_model
@@ -46,6 +48,10 @@ class GenerateConfig:
     unnorm_key: str = "ur5e_pick_place"
 
     env_name: str = "ur5e_pick_place"
+    task_suite_name: str = "ur5e_pick_place"   # 'abs_pose' in the name ->
+                                               # absolute-position actions
+    task_name: str = "pick_place"
+    object_set: int = 2
     controller_path: str = ""
     num_variations: int = 16
     num_trials_per_variation: int = 10
@@ -55,34 +61,77 @@ class GenerateConfig:
     # fmt: on
 
 
+def task_instruction(cfg: GenerateConfig, variation: int) -> str:
+    """Language instruction from the fork's command.json (the text the
+    policy was trained on — reference conditions on TASK_COMMAND, not a
+    synthetic phrase)."""
+    from experiments.robot.robosuite.collect_data.collect_task import (
+        TASK_COMMAND, _command_key)
+
+    key = _command_key(cfg.task_name, cfg.object_set)
+    return TASK_COMMAND[key][str(variation)]
+
+
+def _target_object_pos(obs) -> Optional[np.ndarray]:
+    """Per-object keys, reference test/pick_place.py:148-150: the env exposes
+    '{name}_pos' per object and 'target-object' as an index into obj_names."""
+    names = ["greenbox", "yellowbox", "bluebox", "redbox"]
+    tid = obs.get("target-object")
+    if tid is None:
+        return None
+    name = names[int(tid)] if int(tid) < len(names) else None
+    return np.asarray(obs[f"{name}_pos"]) if name and f"{name}_pos" in obs \
+        else None
+
+
 def run_episode(cfg, env, model, processor, action_head, proprio_projector,
                 task_description: str):
+    """Reference protocol (test/pick_place.py:60-160): actions are converted
+    to OSC world space (delta->world pos, euler->negated axis-angle,
+    binarized gripper), gripper_closed is tracked from the executed command,
+    SUCCESS comes from the env reward, and a sim exception fails only this
+    episode. The geometry predicates remain as auxiliary diagnostics."""
     obs = env.reset()
     action_queue: deque = deque(maxlen=cfg.num_open_loop_steps)
     tasks = {"success": False, "reached": False, "picked": False}
+    gripper_closed = 0.0
     start_z = None
-    for t in range(cfg.max_steps):
-        observation = prepare_observation(obs)
-        if len(action_queue) == 0:
-            actions = get_action(cfg, model, observation, task_description,
-                                 processor=processor, action_head=action_head,
-                                 proprio_projector=proprio_projector,
-                                 use_film=cfg.use_film)
-            action_queue.extend(actions)
-        action = action_queue.popleft()
-        obs, reward, done, info = env.step(np.asarray(action))
-        obj_pos = np.asarray(obs.get("obj_pos", np.zeros(3)))
-        if start_z is None:
-            start_z = obj_pos[2]
-        eef = np.asarray(obs.get("eef_pos", np.zeros(3)))
-        tasks["reached"] = check_reach(0.03, obj_pos - eef, tasks["reached"])
-        tasks["picked"] = check_pick(0.05, obj_pos[2], start_z,
-                                     tasks["reached"], tasks["picked"])
-        if "bin_pos" in obs:
-            tasks["success"] = check_bin(0.0, np.asarray(obs["bin_pos"]),
-                                         obj_pos, tasks["success"])
-        if done or tasks["success"]:
-            break
+    abs_pose = "abs_pose" in cfg.task_suite_name
+    try:
+        for t in range(cfg.max_steps):
+            obs["camera_front_image"] = crop_front_image(
+                np.asarray(obs["camera_front_image"]), cfg.task_name)
+            observation = prepare_observation(obs,
+                                              gripper_closed=gripper_closed)
+            if len(action_queue) == 0:
+                actions = get_action(
+                    cfg, model, observation, task_description,
+                    processor=processor, action_head=action_head,
+                    proprio_projector=proprio_projector,
+                    use_film=cfg.use_film)
+                action_queue.extend(actions)
+            action = action_queue.popleft()
+            world_action, gripper_closed = convert_action_to_world(
+                np.asarray(action), np.asarray(obs.get("eef_pos",
+                                                       np.zeros(3))),
+                abs_pose=abs_pose)
+            obs, reward, done, info = env.step(world_action)
+            tasks["success"] = bool(tasks["success"] or reward == 1)
+            obj_pos = _target_object_pos(obs)
+            if obj_pos is not None:
+                if start_z is None:
+                    start_z = obj_pos[2]
+                eef = np.asarray(obs.get("eef_pos", np.zeros(3)))
+                tasks["reached"] = check_reach(0.03, obj_pos - eef,
+                                               tasks["reached"])
+                tasks["picked"] = check_pick(0.05, obj_pos[2], start_z,
+                                             tasks["reached"],
+                                             tasks["picked"])
+            if done or tasks["success"]:
+                break
+    except Exception as e:  # sim fault costs one episode, not the run
+        print(f"Episode error: {e}")
+        tasks["success"] = False
     return tasks["success"]
 
 
@@ -104,7 +153,7 @@ def eval_robosuite(cfg: GenerateConfig) -> float:
         for _ in range(cfg.num_trials_per_variation):
             ok = run_episode(cfg, env, model, processor, action_head,
                              proprio_projector,
-                             f"pick and place variation {variation}")
+                             task_instruction(cfg, variation))
             successes += int(ok)
             episodes += 1
     rate = successes / max(episodes, 1)

@@ -44,7 +44,9 @@ def write_npz_episodes(out_dir: str, episodes: List[Dict]) -> List[str]:
         if "wrist_images" in ep:
             payload["wrist_images"] = np.asarray(ep["wrist_images"],
                                                  dtype=object)
-        np.savez_compressed(path, **payload, allow_pickle=True)
+        # NOTE: savez has no allow_pickle kwarg — passing it would store a
+        # spurious array named "allow_pickle" in the archive
+        np.savez_compressed(path, **payload)
         paths.append(path)
     return paths
 

@@ -1,8 +1,8 @@
 """Goal relabeling + task augmentation (reference
 `prismatic/vla/datasets/rlds/utils/{goal_relabeling,task_augmentation}.py`).
 
-- `uniform_goal_relabel`: for each frame, pick a uniformly random FUTURE frame
-  of the same trajectory as the goal image (hindsight relabeling).
+- `uniform_goal_relabel`: for each frame, pick a uniformly random STRICTLY
+  FUTURE frame ([t+1, T), reference goal_relabeling.py) as the goal image.
 - `keep_image_or_language`: task augmentation by modality dropout — with some
   probability keep only the goal image or only the language instruction,
   training the policy to follow either conditioning alone.
@@ -19,10 +19,13 @@ import numpy as np
 
 
 def uniform_goal_relabel(traj: Dict, rng: np.random.Generator) -> Dict:
-    """Attach `task/image_goal` = frames[t'] with t' ~ Uniform[t, T)."""
+    """Attach `task/image_goal` = frames[t'] with t' ~ Uniform[t+1, T)
+    (reference utils/goal_relabeling.py:15-26 samples STRICTLY future states,
+    clamped to T-1 for the final frame)."""
     images = traj["images"]
     t = len(images)
-    goal_idx = rng.integers(np.arange(t), t)  # per-frame uniform future index
+    low = np.minimum(np.arange(t) + 1, t - 1)
+    goal_idx = rng.integers(low, np.maximum(t, low + 1))
     traj.setdefault("task", {})["image_goal_idx"] = goal_idx
     traj["task"]["image_goal"] = [images[i] for i in goal_idx]
     return traj

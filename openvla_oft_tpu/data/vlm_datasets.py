@@ -30,6 +30,7 @@ class VLMPretrainDataset:
     stage: str = "finetune"              # "align" | "finetune"
     llm_backbone_id: str = "llama2-7b-pure"
     shuffle_seed: Optional[int] = 0
+    max_length: Optional[int] = 2048     # reference: tokenizer.model_max_length
 
     def __post_init__(self):
         with open(self.json_path) as f:
@@ -48,31 +49,39 @@ class VLMPretrainDataset:
         convs = rec.get("conversations", [])
         if not convs:
             return None
-        builder = get_prompt_builder(self.llm_backbone_id)
+        tokenizer = self.processor.tokenizer
         if self.stage == "align":
-            # caption-only: single gpt turn becomes "<caption></s>" after a
-            # fixed captioning prompt (reference align-stage semantics)
+            # Reference AlignDataset (datasets.py:49-85): the human prompt is
+            # DISCARDED — the model predicts the caption directly from the
+            # image: ids = tokenize("{caption}</s>"), labels mask only BOS.
             caption = convs[-1]["value"].replace("<image>", "").strip()
-            builder.add_turn("human", "Provide a caption for this image.")
-            supervised_start = len(builder.get_prompt())
-            builder.add_turn("gpt", caption)
+            tok = tokenizer(caption + "</s>", add_special_tokens=True)
+            ids = np.asarray(tok["input_ids"], np.int32)
+            labels = ids.copy()
+            labels[:1] = IGNORE_INDEX
         else:
-            for turn in convs:
-                role = "human" if turn.get("from") in ("human", "user") else "gpt"
-                builder.add_turn(role, turn["value"])
-            supervised_start = None  # supervise every gpt turn (approx: tail)
-        prompt = builder.get_prompt()
-
-        tok = self.processor.tokenizer(prompt, add_special_tokens=True)
-        ids = np.asarray(tok["input_ids"], np.int32)
-        labels = ids.copy()
-        if self.stage == "align" and supervised_start is not None:
-            # mask everything before the answer text
-            prefix_tok = self.processor.tokenizer(
-                prompt[:supervised_start], add_special_tokens=True)
-            labels[: len(prefix_tok["input_ids"])] = IGNORE_INDEX
-        else:
-            labels[:1] = IGNORE_INDEX  # at minimum never supervise BOS
+            # Reference FinetuneDataset (datasets.py:139-160): tokenize TURN
+            # BY TURN; every even (human) turn is fully label-masked
+            # ([CRITICAL] in the reference) and BOS is masked.
+            builder = get_prompt_builder(self.llm_backbone_id)
+            id_parts, label_parts = [], []
+            for turn_idx, turn in enumerate(convs):
+                role = "human" if turn.get("from") in ("human", "user") \
+                    else "gpt"
+                wrapped = builder.add_turn(role, turn["value"]).rstrip()
+                turn_ids = tokenizer(
+                    wrapped, add_special_tokens=(turn_idx == 0))["input_ids"]
+                id_parts.extend(turn_ids)
+                label_parts.extend(
+                    [IGNORE_INDEX] * len(turn_ids) if turn_idx % 2 == 0
+                    else list(turn_ids))
+            ids = np.asarray(id_parts, np.int32)
+            labels = np.asarray(label_parts, np.int32)
+            labels[:1] = IGNORE_INDEX
+        # truncation (reference: tokenizer.model_max_length)
+        if self.max_length is not None:
+            ids = ids[: self.max_length]
+            labels = labels[: self.max_length]
 
         image = self._load_image(rec["image"]) if "image" in rec else None
         if image is None:

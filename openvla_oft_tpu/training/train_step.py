@@ -117,6 +117,20 @@ def _merged_params(base: Params, trainables: Params, cfg: TrainConfig) -> Params
               "proprio_projector", "noisy_action_projector", "film"):
         if k in trainables:
             params[k] = trainables[k]
+    if "llm_last_layer" in trainables:
+        # Reference last_layer_finetune_modules = (embed_tokens, layers[-1],
+        # lm_head) (llm/llama2.py:101-102): the trainable subtree carries the
+        # LAST slice of each stacked layer array plus embed/lm_head wholesale;
+        # reassemble inside jit so only those leaves receive grads/updates.
+        t = trainables["llm_last_layer"]
+        llm = dict(params["llm"])
+        llm["layers"] = jax.tree_util.tree_map(
+            lambda b, last: b.at[-1].set(last.astype(b.dtype)),
+            llm["layers"], t["layers"])
+        llm["embed"] = t["embed"]
+        if "lm_head" in llm and "lm_head" in t:
+            llm["lm_head"] = t["lm_head"]
+        params["llm"] = llm
     return params
 
 

@@ -27,7 +27,10 @@ T_ = 9  # trajectory length
 
 
 def _rng(name):
-    return np.random.default_rng(abs(hash(name)) % (2 ** 31))
+    # crc32, not builtin hash(): str hash is salted per process, which made
+    # the synthetic fixtures nondeterministic across runs (an intermittent
+    # bridge-truncation failure traced to exactly this)
+    return np.random.default_rng(zlib.crc32(name.encode()) % (2 ** 31))
 
 
 def _dict_action(rng, grip_shape=(T_, 1), grip_key="gripper_closedness_action"):

@@ -119,3 +119,77 @@ def test_robosuite_create_video(tmp_path):
         pickle.dump(traj, f)
     out = render_rollout(str(pkl_path), str(tmp_path))
     assert Path(out).exists() and Path(out).stat().st_size > 0
+
+
+def test_robosuite_rotation_helpers_match_scipy():
+    """quat2mat/mat2quat/euler2mat/mat2euler/quat2axisangle against scipy
+    (robosuite conventions: xyzw quats, static-frame xyz euler)."""
+    pytest.importorskip("scipy")
+    from scipy.spatial.transform import Rotation
+
+    from experiments.robot.robosuite.robosuite_utils import (
+        euler2mat, mat2euler, mat2quat, quat2axisangle, quat2mat)
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        r = Rotation.from_quat(q)  # scipy is xyzw too
+        np.testing.assert_allclose(quat2mat(q), r.as_matrix(), atol=1e-10)
+        # mat2quat up to sign
+        q2 = mat2quat(r.as_matrix())
+        np.testing.assert_allclose(np.abs(q2 @ q), 1.0, atol=1e-10)
+        # euler static xyz == scipy lowercase 'xyz' extrinsic
+        e = rng.uniform(-3, 3, 3)
+        np.testing.assert_allclose(euler2mat(e),
+                                   Rotation.from_euler("xyz", e).as_matrix(),
+                                   atol=1e-10)
+        m = Rotation.random(random_state=rng.integers(1 << 30)).as_matrix()
+        np.testing.assert_allclose(euler2mat(mat2euler(m)), m, atol=1e-9)
+        # axis-angle
+        aa = quat2axisangle(q if q[3] >= 0 else -q)
+        np.testing.assert_allclose(aa, r.as_rotvec(), atol=1e-9)
+
+
+def test_robosuite_action_world_conversion():
+    """convert_action_to_world reproduces the reference step conversion
+    (test/pick_place.py:95-115): delta position, negated-euler axis-angle,
+    gripper binarized at 0.97."""
+    from experiments.robot.robosuite.robosuite_utils import (
+        convert_action_to_world, euler2mat, mat2quat, quat2axisangle)
+
+    eef = np.array([0.1, -0.2, 0.9])
+    action = np.array([0.02, -0.01, 0.03, 0.3, -0.2, 0.1, 0.99])
+    world, closed = convert_action_to_world(action, eef)
+    np.testing.assert_allclose(world[:3], eef + action[:3])
+    np.testing.assert_allclose(
+        world[3:6], quat2axisangle(mat2quat(euler2mat(-action[3:6]))))
+    assert world[6] == 1.0 and closed == 1.0
+    world2, closed2 = convert_action_to_world(
+        np.array([0, 0, 0, 0, 0, 0, 0.5]), eef, abs_pose=True)
+    np.testing.assert_allclose(world2[:3], [0, 0, 0])
+    assert world2[6] == -1.0 and closed2 == 0.0
+
+
+def test_robosuite_crop_and_obs_layout():
+    from experiments.robot.robosuite.robosuite_utils import (
+        TASK_CROP, crop_front_image, prepare_observation)
+
+    img = np.random.default_rng(0).integers(0, 255, (200, 360, 3)).astype(
+        np.uint8)
+    out = crop_front_image(img, "pick_place", out_size=224)
+    assert out.shape == (224, 224, 3)
+
+    obs = {
+        "camera_front_image": img[:100, :100],
+        "eye_in_hand_image": img[:100, :100],
+        "eef_pos": np.array([0.1, 0.2, 0.3]),
+        "eef_quat": np.array([0.0, 0.0, 0.0, 1.0]),
+        "joint_pos": np.zeros(6),
+    }
+    o = prepare_observation(obs, resize_size=64, gripper_closed=1.0)
+    assert o["full_image"].shape == (64, 64, 3)
+    assert o["eef_pose"].shape == (6,)
+    np.testing.assert_allclose(o["eef_pose"][:3], [0.1, 0.2, 0.3])
+    assert o["gripper_closed"] == 1.0
+    assert o["state"].shape == (6,)

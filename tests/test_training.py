@@ -167,3 +167,51 @@ def test_inject_lora_matches_merge():
         np.testing.assert_allclose(np.asarray(linear(node_i, x)),
                                    np.asarray(linear(node_m, x)),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_last_layer_stage_freezes_early_layers(tmp_path):
+    """vla-last-layer-train must update ONLY (embed, layers[-1], lm_head) —
+    reference last_layer_finetune_modules (llm/llama2.py:101-102) — leaving
+    every earlier stacked layer slice and the projector bit-identical.
+    (Round-2 review: the old stage table trained the projector and froze the
+    modules the reference trains.)"""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from openvla_oft_tpu.training.checkpoint import restore_checkpoint
+    from vla_scripts.train import TrainConfig, train
+
+    out = train(TrainConfig(
+        vla_id="tiny", stage="vla-last-layer-train",
+        pretrained_checkpoint="random:tiny", data_root_dir=Path("dummy"),
+        dataset_name="libero_dummy", batch_size=2, max_steps=2,
+        save_interval=2, run_root_dir=tmp_path, learning_rate=1e-2))
+    assert out["final_step"] == 2
+    restored = restore_checkpoint(str(Path(out["run_dir"]) / "ckpt"), 2)
+    tr = restored["trainables"]
+    assert set(tr) == {"llm_last_layer"}
+    # compare against a fresh init with the same seed: the last slice moved
+    import jax
+    import jax.numpy as jnp
+
+    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.policy import init_openvla_params
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.config import (
+        OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP)
+
+    C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+    C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama")
+    init = init_openvla_params(jax.random.PRNGKey(7), cfg, LIBERO,
+                               dtype=jnp.bfloat16, head=None,
+                               with_lm_head=True)
+    moved = np.abs(
+        np.asarray(tr["llm_last_layer"]["layers"]["attn"]["wq"]["kernel"],
+                   np.float32)
+        - np.asarray(init["llm"]["layers"]["attn"]["wq"]["kernel"][-1],
+                     np.float32)).max()
+    assert moved > 0, "last-layer slice did not train"

@@ -31,7 +31,7 @@ def generate(cfg: GenerateConfig) -> None:
     from openvla_oft_tpu.models.prismatic import predict_action_autoregressive
     from openvla_oft_tpu.processing.image_processing import (
         prepare_images_for_policy)
-    from openvla_oft_tpu.models.prismatic import prepare_prompt_ids
+    from openvla_oft_tpu.processing.prompting import get_prompt_builder
 
     class _Cfg:
         pretrained_checkpoint = cfg.model_path
@@ -56,8 +56,19 @@ def generate(cfg: GenerateConfig) -> None:
             instruction = input(">>> ")
         except EOFError:
             break
-        ids, mask = prepare_prompt_ids(vla.tokenizer, instruction,
-                                       cfg.prompt_bucket)
+        # Build the prompt with the checkpoint family's VLM prompt builder
+        # (reference scripts/generate.py wraps the user message via the
+        # prompt builder) — NOT the hardcoded VLA action prompt, so the REPL
+        # actually asks the user's question.
+        builder = get_prompt_builder(vla.cfg.llm_backbone_id)
+        builder.add_turn("human", instruction)
+        prompt = builder.get_prompt()
+        tok = vla.tokenizer(prompt, add_special_tokens=True)
+        raw = np.asarray(tok["input_ids"], np.int32)[: cfg.prompt_bucket]
+        ids = np.zeros(cfg.prompt_bucket, np.int32)
+        mask = np.zeros(cfg.prompt_bucket, np.int32)
+        ids[-len(raw):] = raw   # left-pad into the static bucket
+        mask[-len(raw):] = 1
         tokens = predict_action_autoregressive(
             vla.params, vla.cfg, vla.platform, jnp.asarray(ids)[None],
             jnp.asarray(mask)[None], pixels,

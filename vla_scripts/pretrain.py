@@ -103,7 +103,11 @@ def pretrain(cfg: PretrainConfig) -> dict:
     processor = PrismaticProcessor(model_cfg)
     dataset = VLMPretrainDataset(cfg.llava_json, cfg.image_root, processor,
                                  stage=cfg.stage,
-                                 llm_backbone_id=model_cfg.llm_backbone_id)
+                                 llm_backbone_id=model_cfg.llm_backbone_id,
+                                 # truncate to the bucket so long multi-turn
+                                 # conversations pad instead of crashing the
+                                 # fixed-shape collator
+                                 max_length=cfg.seq_bucket)
     collator = PaddedCollatorForActionPrediction(
         pad_token_id=model_cfg.pad_token_id, max_length=cfg.seq_bucket)
 

@@ -56,7 +56,11 @@ def main() -> int:
 
     for attempt in range(cfg.max_restarts):
         args = list(ft_args)
-        if attempt > 0 and "--resume" not in " ".join(args):
+        has_resume_flag = any(
+            a == "--resume" or a.startswith("--resume=") for a in args)
+        if attempt > 0 and not has_resume_flag:
+            # exact-flag check: the old substring test was fooled by
+            # --resume_step, suppressing the restart resume
             args += ["--resume", "True"]
         print(f"[run_finetune] attempt {attempt}: {script} {' '.join(args)}")
         proc = subprocess.run([sys.executable, script] + args)

@@ -53,11 +53,19 @@ class TrainConfig:
     # fmt: on
 
 
+# Reference freeze_backbones (prismatic/models/vlms/prismatic.py:129-235):
+#   vla-train            : projector + full LLM (vision frozen)
+#   vla-full-train       : everything
+#   vla-sandwich-train   : vision + projector + LAST LLM layer only
+#   vla-last-layer-train : LAST LLM layer only (projector + vision frozen)
+# "LAST LLM layer" = last_layer_finetune_modules = (embed_tokens, layers[-1],
+# lm_head) (llm/llama2.py:101-102), realized here as the `llm_last_layer`
+# trainables subtree (train_step._merged_params reassembles it in-jit).
 STAGE_TRAINABLE = {
     "vla-full-train": ("llm", "vision_backbone", "projector"),
     "vla-train": ("llm", "projector"),
-    "vla-sandwich-train": ("llm", "vision_backbone", "projector"),
-    "vla-last-layer-train": ("projector",),
+    "vla-sandwich-train": ("vision_backbone", "projector", "llm_last_layer"),
+    "vla-last-layer-train": ("llm_last_layer",),
 }
 
 
@@ -110,8 +118,17 @@ def train(cfg: TrainConfig) -> dict:
             ckpt, dtype=jnp.bfloat16)
 
     trainable_keys = STAGE_TRAINABLE[cfg.stage]
-    base = {k: v for k, v in full.items() if k not in trainable_keys}
+    base = {k: v for k, v in full.items()
+            if k not in trainable_keys}
     trainables = {k: full[k] for k in trainable_keys if k in full}
+    if "llm_last_layer" in trainable_keys:
+        trainables["llm_last_layer"] = {
+            "layers": jax.tree_util.tree_map(lambda a: a[-1],
+                                             full["llm"]["layers"]),
+            "embed": full["llm"]["embed"],
+            **({"lm_head": full["llm"]["lm_head"]}
+               if "lm_head" in full["llm"] else {}),
+        }
     overwatch.info(f"stage={cfg.stage} trainable={sorted(trainables)} "
                    f"frozen={sorted(base)}")
 
@@ -138,10 +155,16 @@ def train(cfg: TrainConfig) -> dict:
         else:
             from openvla_oft_tpu.data.rlds.pipeline import make_rlds_iterator
 
-            dataset, _ = make_rlds_iterator(
+            dataset, data_stats = make_rlds_iterator(
                 str(cfg.data_root_dir), cfg.dataset_name, transform, platform,
                 shuffle_buffer_size=cfg.shuffle_buffer_size,
                 image_aug=cfg.image_aug)
+            # reference train.py:202-204: the statistics MUST ride with the
+            # run so eval can un-normalize actions
+            from openvla_oft_tpu.data.transforms import save_dataset_statistics
+
+            save_dataset_statistics(data_stats, run_dir)
+            norm_stats = norm_stats or data_stats
 
         collator = PaddedCollatorForActionPrediction(
             pad_token_id=model_cfg.pad_token_id)
