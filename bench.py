@@ -66,13 +66,30 @@ def _measure(make_entry):
     return per_call, rtt
 
 
+def _measure_with_retry(make_entry, attempts=3, wait_s=30.0):
+    """The axon tunnel occasionally reports a transient RESOURCE_EXHAUSTED
+    right after another TPU process exits (its server-side allocations clear
+    a few seconds later). Retry before giving up so one stale allocation
+    can't sink the whole benchmark."""
+    for i in range(attempts):
+        try:
+            return _measure(make_entry)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or i == attempts - 1:
+                raise
+            print(f"# transient device OOM (attempt {i + 1}/{attempts}), "
+                  f"retrying in {wait_s:.0f}s", file=sys.stderr)
+            gc.collect()
+            time.sleep(wait_s)
+
+
 def main():
     import jax
 
     from __graft_entry__ import entry
 
     os.environ.pop("OPENVLA_QUANT", None)
-    bf16_lat, rtt = _measure(entry)
+    bf16_lat, rtt = _measure_with_retry(entry)
     print(f"# bf16: {bf16_lat*1e3:.1f}ms {1/bf16_lat:.1f} chunks/s/chip "
           f"vs_baseline={A100_CHUNK_LATENCY_S/bf16_lat:.2f} "
           f"rtt={rtt*1e3:.1f}ms device={jax.devices()[0]}", file=sys.stderr)
@@ -81,7 +98,7 @@ def main():
     if os.environ.get("OPENVLA_BENCH_BF16") != "1":
         try:
             os.environ["OPENVLA_QUANT"] = "int8"
-            int8_lat, _ = _measure(entry)
+            int8_lat, _ = _measure_with_retry(entry)
             print(f"# int8: {int8_lat*1e3:.1f}ms {1/int8_lat:.1f} "
                   f"chunks/s/chip "
                   f"vs_baseline={A100_CHUNK_LATENCY_S/int8_lat:.2f}",

@@ -189,3 +189,32 @@ def test_finetune_diffusion_with_sampling_metric(tmp_path):
     rows = [json.loads(line) for line in logs[0].read_text().splitlines()]
     keys = set().union(*[r.keys() for r in rows])
     assert "sampled_actions_l1_loss" in keys, keys
+
+
+def test_shell_launcher_flags_match_configs():
+    """Every --flag in the vla_scripts/*.sh launchers must be a real config
+    field (reference launchers pass positionals straight into finetune.py;
+    a renamed dataclass field would break them silently)."""
+    import dataclasses
+    import re
+
+    from vla_scripts.finetune import FinetuneConfig
+    from vla_scripts.merge_lora_weights_and_save import MergeConfig
+
+    root = Path(__file__).resolve().parent.parent / "vla_scripts"
+    fields = {
+        "finetune.sh": {f.name for f in dataclasses.fields(FinetuneConfig)},
+        "merge_lora_weights_and_save.sh":
+            {f.name for f in dataclasses.fields(MergeConfig)},
+    }
+    for sh, names in fields.items():
+        text = re.sub(r"#.*", "", (root / sh).read_text())
+        # only whitespace-anchored flags: `--x` inside run-id-note strings
+        # like "parallel_dec--8_acts_chunk" are data, not flags
+        for flag in re.findall(r"(?<=\s)--([a-z0-9_]+)", text):
+            assert flag in names, f"{sh} passes unknown flag --{flag}"
+    # the libero launcher delegates to finetune.sh; check it stays a wrapper
+    libero = re.sub(r"#.*", "", (root / "finetune_libero.sh").read_text())
+    assert "finetune.sh" in libero, "finetune_libero.sh should delegate"
+    assert not re.findall(r"(?<=\s)--[a-z0-9_]+", libero), \
+        "finetune_libero.sh should delegate, not duplicate flags"
