@@ -213,8 +213,9 @@ def test_shell_launcher_flags_match_configs():
         # like "parallel_dec--8_acts_chunk" are data, not flags
         for flag in re.findall(r"(?<=\s)--([a-z0-9_]+)", text):
             assert flag in names, f"{sh} passes unknown flag --{flag}"
-    # the libero launcher delegates to finetune.sh; check it stays a wrapper
-    libero = re.sub(r"#.*", "", (root / "finetune_libero.sh").read_text())
-    assert "finetune.sh" in libero, "finetune_libero.sh should delegate"
-    assert not re.findall(r"(?<=\s)--[a-z0-9_]+", libero), \
-        "finetune_libero.sh should delegate, not duplicate flags"
+    # variant launchers delegate to finetune.sh; check they stay wrappers
+    for sh in ("finetune_libero.sh", "finetune_abs_pose.sh"):
+        text = re.sub(r"#.*", "", (root / sh).read_text())
+        assert "finetune.sh" in text, f"{sh} should delegate"
+        assert not re.findall(r"(?<=\s)--[a-z0-9_]+", text), \
+            f"{sh} should delegate, not duplicate flags"
