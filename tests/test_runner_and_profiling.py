@@ -99,3 +99,19 @@ def test_verify_openvla_config_surface():
     assert cfg.num_iterations == 3
     assert cfg.quant == "int8"
     assert cfg.use_proprio is False
+
+
+def test_profiler_trace_writes_events(tmp_path):
+    """trace() captures a jax.profiler trace directory with event data."""
+    import jax
+    import jax.numpy as jnp
+
+    from openvla_oft_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path)):
+        with annotate("matmul_region"):
+            x = jnp.ones((64, 64))
+            (x @ x).block_until_ready()
+    produced = list(Path(tmp_path).rglob("*"))
+    assert any(p.is_file() and p.stat().st_size > 0 for p in produced), \
+        f"no trace files under {tmp_path}: {produced}"

@@ -80,3 +80,34 @@ def test_openvla_server_with_tiny_policy(rng):
         assert np.isfinite(out).all()
     finally:
         httpd.shutdown()
+
+
+def test_json_numpy_edge_dtypes(rng):
+    """float16/bool/int64, 0-d scalars, non-contiguous views, and nested
+    containers must all survive the wire format (reference clients send
+    arbitrary observation dicts)."""
+    obs = {
+        "half": rng.standard_normal((4, 3)).astype(np.float16),
+        "flags": np.array([[True, False], [False, True]]),
+        "steps": np.arange(5, dtype=np.int64),
+        "scalar": np.float32(0.25),
+        "zero_d": np.array(7, dtype=np.int32),
+        "nested": {"inner": [np.arange(3, dtype=np.float32), "text", 3]},
+        # transpose -> non-contiguous; encoder must emit the logical layout
+        "strided": rng.standard_normal((3, 5)).T,
+    }
+    back = json_numpy.loads(json_numpy.dumps(obs))
+    np.testing.assert_array_equal(back["half"], obs["half"])
+    assert back["half"].dtype == np.float16
+    np.testing.assert_array_equal(back["flags"], obs["flags"])
+    assert back["flags"].dtype == np.bool_
+    np.testing.assert_array_equal(back["steps"], obs["steps"])
+    assert back["steps"].dtype == np.int64
+    # numpy scalars degrade to plain JSON numbers (reference behavior)
+    assert back["scalar"] == 0.25
+    np.testing.assert_array_equal(back["zero_d"], obs["zero_d"])
+    assert back["zero_d"].shape == ()
+    np.testing.assert_array_equal(back["nested"]["inner"][0],
+                                  obs["nested"]["inner"][0])
+    assert back["nested"]["inner"][1:] == ["text", 3]
+    np.testing.assert_array_equal(back["strided"], obs["strided"])
