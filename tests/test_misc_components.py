@@ -207,3 +207,32 @@ def test_vlm_pretrain_dataset(tmp_path):
     # align stage: prompt masked, answer supervised
     assert (ex["labels"] == IGNORE_INDEX).sum() > 0
     assert (ex["labels"] != IGNORE_INDEX).sum() > 0
+
+
+def test_model_registry_full_prismatic_breadth():
+    """All 49 released Prismatic VLM ids from the reference MODEL_REGISTRY
+    (prismatic/models/registry.py, architectures per conf/models.py) are
+    registered with resolvable backbone ids."""
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.models.registry import MODEL_REGISTRY
+
+    vlms = {mid: e for mid, e in MODEL_REGISTRY.items() if not e.is_vla}
+    assert len(vlms) == 49
+    # every architecture id resolves in the config registries
+    for e in vlms.values():
+        assert e.vision_backbone_id in C._VISION_REGISTRY, e.model_id
+        assert e.llm_backbone_id in C._LLM_REGISTRY, e.model_id
+        assert e.image_resize_strategy in (
+            "resize-naive", "resize-crop", "letterbox"), e.model_id
+    # spot-check mappings against the reference conf
+    assert vlms["reproduction-llava-v15+13b"].llm_backbone_id == \
+        "vicuna-v15-13b"
+    assert vlms["prism-dinosiglip-224px+7b"].vision_backbone_id == \
+        "dinosiglip-vit-so-224px"
+    assert vlms["prism-dinosiglip-224px+7b"].image_resize_strategy == \
+        "resize-naive"
+    assert vlms["siglip-384px-letterbox+7b"].image_resize_strategy == \
+        "letterbox"
+    assert vlms["phi-2+3b"].llm_backbone_id == "phi-2-3b"
+    # the reference conf quirk: prism-siglip+13b points at the CLIP backbone
+    assert vlms["prism-siglip+13b"].vision_backbone_id == "clip-vit-l-336px"
