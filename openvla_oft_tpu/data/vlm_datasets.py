@@ -21,6 +21,47 @@ from openvla_oft_tpu.constants import IGNORE_INDEX
 from openvla_oft_tpu.processing.processor import PrismaticProcessor
 from openvla_oft_tpu.processing.prompting import get_prompt_builder
 
+# Named dataset variants (reference `prismatic/conf/datasets.py:35-113`
+# DatasetRegistry): every variant shares the LAION-CC-SBU-558k align stage
+# and differs only in the finetune-stage instruct mixture json.
+_ALIGN = ("download/llava-laion-cc-sbu-558k/chat.json",
+          "download/llava-laion-cc-sbu-558k/")
+_INSTRUCT_DIR = "download/llava-v1.5-instruct/"
+VLM_DATASET_REGISTRY: Dict[str, Dict[str, tuple]] = {
+    "llava-v15": {
+        "align": _ALIGN,
+        "finetune": (_INSTRUCT_DIR + "llava_v1_5_mix665k.json",
+                     _INSTRUCT_DIR)},
+    "llava-multimodal": {  # no language-only ShareGPT co-training
+        "align": _ALIGN,
+        "finetune": (_INSTRUCT_DIR + "llava_v1_5_stripped625k.json",
+                     _INSTRUCT_DIR)},
+    "llava-lvis4v": {
+        "align": _ALIGN,
+        "finetune": (_INSTRUCT_DIR + "llava_v1_5_lvis4v_mix888k.json",
+                     _INSTRUCT_DIR)},
+    "llava-lrv": {
+        "align": _ALIGN,
+        "finetune": (_INSTRUCT_DIR + "llava_v1_5_lrv_mix1008k.json",
+                     _INSTRUCT_DIR)},
+    "llava-lvis4v-lrv": {
+        "align": _ALIGN,
+        "finetune": (_INSTRUCT_DIR + "llava_v1_5_lvis4v_lrv_mix1231k.json",
+                     _INSTRUCT_DIR)},
+}
+
+
+def resolve_vlm_dataset(dataset_id: str, stage: str,
+                        dataset_root_dir: str) -> tuple:
+    """(json_path, image_root) for a named variant + stage, rooted at
+    `dataset_root_dir` (reference DatasetConfig.*_stage_components)."""
+    if dataset_id not in VLM_DATASET_REGISTRY:
+        raise KeyError(f"unknown VLM dataset {dataset_id!r}; known: "
+                       f"{sorted(VLM_DATASET_REGISTRY)}")
+    rel_json, rel_images = VLM_DATASET_REGISTRY[dataset_id][stage]
+    return (os.path.join(dataset_root_dir, rel_json),
+            os.path.join(dataset_root_dir, rel_images))
+
 
 @dataclasses.dataclass
 class VLMPretrainDataset:

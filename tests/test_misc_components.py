@@ -236,3 +236,23 @@ def test_model_registry_full_prismatic_breadth():
     assert vlms["phi-2+3b"].llm_backbone_id == "phi-2-3b"
     # the reference conf quirk: prism-siglip+13b points at the CLIP backbone
     assert vlms["prism-siglip+13b"].vision_backbone_id == "clip-vit-l-336px"
+
+
+def test_vlm_dataset_registry():
+    """The 5 named LLaVA variants (reference conf/datasets.py:35-113) resolve
+    to the reference's relative file pairs under any root."""
+    from openvla_oft_tpu.data.vlm_datasets import (
+        VLM_DATASET_REGISTRY, resolve_vlm_dataset)
+
+    assert sorted(VLM_DATASET_REGISTRY) == [
+        "llava-lrv", "llava-lvis4v", "llava-lvis4v-lrv", "llava-multimodal",
+        "llava-v15"]
+    j, r = resolve_vlm_dataset("llava-v15", "align", "/data")
+    assert j == "/data/download/llava-laion-cc-sbu-558k/chat.json"
+    assert r == "/data/download/llava-laion-cc-sbu-558k/"
+    j, _ = resolve_vlm_dataset("llava-lvis4v-lrv", "finetune", "/data")
+    assert j.endswith("llava_v1_5_lvis4v_lrv_mix1231k.json")
+    j, _ = resolve_vlm_dataset("llava-multimodal", "finetune", "/data")
+    assert j.endswith("llava_v1_5_stripped625k.json")
+    with pytest.raises(KeyError):
+        resolve_vlm_dataset("nope", "align", "/data")

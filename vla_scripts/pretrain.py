@@ -26,6 +26,10 @@ class PretrainConfig:
     stage: str = "align"                          # "align" | "finetune"
     llava_json: str = ""                          # LLaVA-format json
     image_root: str = ""
+    # named variant (reference conf/datasets.py DatasetRegistry) — used when
+    # llava_json is empty: resolves json/images under dataset_root_dir
+    dataset_id: str = "llava-v15"
+    dataset_root_dir: str = ""
     run_root_dir: Path = Path("runs")
 
     batch_size: int = 16
@@ -100,8 +104,15 @@ def pretrain(cfg: PretrainConfig) -> dict:
     run_dir = os.path.join(str(cfg.run_root_dir), run_id)
     os.makedirs(run_dir, exist_ok=True)
 
+    llava_json, image_root = cfg.llava_json, cfg.image_root
+    if not llava_json:
+        from openvla_oft_tpu.data.vlm_datasets import resolve_vlm_dataset
+
+        llava_json, image_root = resolve_vlm_dataset(
+            cfg.dataset_id, cfg.stage, cfg.dataset_root_dir)
+
     processor = PrismaticProcessor(model_cfg)
-    dataset = VLMPretrainDataset(cfg.llava_json, cfg.image_root, processor,
+    dataset = VLMPretrainDataset(llava_json, image_root, processor,
                                  stage=cfg.stage,
                                  llm_backbone_id=model_cfg.llm_backbone_id,
                                  # truncate to the bucket so long multi-turn
