@@ -256,3 +256,27 @@ def test_vlm_dataset_registry():
     assert j.endswith("llava_v1_5_stripped625k.json")
     with pytest.raises(KeyError):
         resolve_vlm_dataset("nope", "align", "/data")
+
+
+def test_preprocess_registry_and_convert(tmp_path):
+    """Dataset-artifact registry covers both LLaVA stages; convert_to_jpg
+    normalizes gif/png to RGB jpg and skips already-converted files."""
+    from PIL import Image
+
+    from vla_scripts.preprocess import DATASET_ARTIFACTS, convert_to_jpg
+
+    assert set(DATASET_ARTIFACTS) == {"llava-laion-cc-sbu-558k",
+                                      "llava-v1.5-instruct"}
+    names = [c["name"] for c in DATASET_ARTIFACTS["llava-v1.5-instruct"]]
+    assert "coco/train2017" in names and "ocr_vqa/images" in names
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(tmp_path / "a.png")
+    Image.fromarray(arr).convert("P").save(tmp_path / "b.gif")
+    Image.fromarray(arr).save(tmp_path / "c.jpg")
+    assert convert_to_jpg(tmp_path) == 2
+    for stem in ("a", "b", "c"):
+        out = Image.open(tmp_path / f"{stem}.jpg")
+        assert out.mode == "RGB" and out.size == (8, 8)
+    assert convert_to_jpg(tmp_path) == 0  # idempotent
