@@ -280,3 +280,48 @@ def test_preprocess_registry_and_convert(tmp_path):
         out = Image.open(tmp_path / f"{stem}.jpg")
         assert out.mode == "RGB" and out.size == (8, 8)
     assert convert_to_jpg(tmp_path) == 0  # idempotent
+
+
+def test_build_instruct_mixtures(tmp_path):
+    """LVIS-4V merge and LRV chat-format conversion produce the mixture
+    jsons the dataset variants name, deterministically shuffled."""
+    import json
+
+    from vla_scripts.build_instruct_mixtures import (
+        build_lrv_mixtures, build_lvis4v_mixture)
+
+    base = tmp_path
+    (base / "lrv").mkdir()
+    json.dump([{"id": "b0", "image": "x.jpg",
+                "conversations": [{"from": "human", "value": "<image>\nq"},
+                                  {"from": "gpt", "value": "a"}]}
+               for _ in range(3)],
+              open(base / "llava_v1_5_mix665k.json", "w"))
+    json.dump([{"id": "l0", "image": "y.jpg", "conversations": []}],
+              open(base / "lvis_instruct4v_220k.json", "w"))
+    json.dump([{"image_id": "12", "question": " why? ", "answer": " so. "}],
+              open(base / "lrv" / "filter_cap1.json", "w"))
+    json.dump([], open(base / "lrv" / "filter_cap_more1.json", "w"))
+    json.dump([{"image_id": "c.png", "question": "q2", "answer": "a2"}],
+              open(base / "lrv" / "chart_release_update.json", "w"))
+
+    out = build_lvis4v_mixture(base, verify_images=False)
+    mix888 = json.load(open(out))
+    assert len(mix888) == 4 and out.name == "llava_v1_5_lvis4v_mix888k.json"
+
+    outs = build_lrv_mixtures(base, verify_images=False)
+    mix1008 = json.load(open(outs[0]))
+    assert len(mix1008) == 5  # 3 base + 2 lrv
+    assert len(json.load(open(outs[1]))) == 6  # 4 lvis-mix + 2 lrv
+    lrv_ex = [e for e in mix1008 if e["id"] == "12"][0]
+    assert lrv_ex["image"] == "lrv/lrv-vg/12.jpg"
+    assert lrv_ex["conversations"][0]["value"] == "<image>\nwhy?"
+    assert lrv_ex["conversations"][1]["value"] == "so."
+    chart = [e for e in mix1008 if e["id"] == "c"][0]
+    assert chart["image"] == "lrv/lrv-chart/c.png"
+    # deterministic: rebuilding yields the identical order
+    again = json.load(open(build_lrv_mixtures(base, verify_images=False)[0]))
+    assert again == mix1008
+    # verify_images catches missing files
+    with pytest.raises(AssertionError):
+        build_lvis4v_mixture(base, verify_images=True)
