@@ -28,8 +28,19 @@ def build_prompt(instruction: str) -> str:
 
 
 def load_tokenizer(path_or_dir: str):
-    """Load the Llama-2 tokenizer from a checkpoint dir (tokenizer.json /
-    tokenizer.model). Requires local files — this build has zero egress."""
+    """Load the Llama-2 tokenizer from a checkpoint dir.
+
+    Prefers the in-repo SentencePiece implementation over `tokenizer.model`
+    (processing/sentencepiece.py — no transformers dependency on the serving
+    path); falls back to HF AutoTokenizer for tokenizer.json-only dirs, or
+    when OPENVLA_HF_TOKENIZER=1 forces the HF stack (e.g. while validating
+    encode parity on a new checkpoint). Requires local files — zero egress."""
+    if os.environ.get("OPENVLA_HF_TOKENIZER") != "1":
+        from openvla_oft_tpu.processing.sentencepiece import load_sentencepiece
+
+        sp = load_sentencepiece(path_or_dir)
+        if sp is not None:
+            return sp
     from transformers import AutoTokenizer
 
     return AutoTokenizer.from_pretrained(path_or_dir, local_files_only=True)
@@ -66,6 +77,25 @@ class FakeLlamaTokenizer:
 
     def decode(self, ids, **kw):
         return " ".join(f"<{i}>" for i in np.atleast_1d(np.asarray(ids)))
+
+
+def derive_prompt_bucket(tokenizer, instructions, multiple: int = 16,
+                         headroom: int = 2) -> int:
+    """Size the static prompt bucket from REAL tokenizations of a task
+    corpus (e.g. a LIBERO suite's instructions): max prompt length (incl.
+    BOS + the 29871 fixup) + headroom, rounded up to `multiple`.
+
+    The serving path compiles one program per bucket
+    (models/prismatic.py::prepare_prompt_ids auto-escalates but each new
+    bucket costs a recompile); deriving the bucket from the corpus keeps
+    every instruction on the primary compiled program."""
+    longest = 0
+    for ins in instructions:
+        ids = tokenizer(build_prompt(ins), add_special_tokens=True)["input_ids"]
+        n = len(ids) + (ids[-1] != EMPTY_TOKEN_ID)
+        longest = max(longest, n)
+    need = longest + headroom
+    return -(-need // multiple) * multiple
 
 
 class PrismaticProcessor:
