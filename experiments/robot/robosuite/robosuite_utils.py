@@ -193,16 +193,111 @@ def prepare_observation(obs: Dict, resize_size: int = 224,
     }
 
 
+# Default OSC-pose controller parameters (the env's task-space action
+# interface): delta-pose commands in [-1, 1], fixed impedance kp=150,
+# uncoupled pos/ori — the values the reference ships as
+# `multi_task_robosuite_env/controllers/config/osc_pose.json` and loads via
+# `load_controller_config(custom_fpath=...)` (reference robosuite_utils.py:100-102).
+# Kept in-repo so an empty `controller_path` works out of the box.
+OSC_POSE_CONTROLLER = {
+    "type": "OSC_POSE",
+    "input_max": 1,
+    "input_min": -1,
+    "output_max": [1, 1, 1, 1, 1, 1],
+    "output_min": [-1, -1, -1, -1, -1, -1],
+    "kp": 150,
+    "damping_ratio": 1,
+    "impedance_mode": "fixed",
+    "kp_limits": [0, 300],
+    "damping_ratio_limits": [0, 10],
+    "position_limits": None,
+    "orientation_limits": None,
+    "uncouple_pos_ori": True,
+    "control_delta": True,
+    "interpolation": None,
+    "ramp_ratio": 0.2,
+}
+
+# Task registry (reference TASK_MAP, robosuite_utils.py:67-97): expert-env
+# factory name inside the external `multi_task_robosuite_env` package, UR5e /
+# Panda env ids, variation counts, render size, object set.
+ROBOSUITE_TASK_MAP = {
+    "pick_place": {
+        "num_variations": 16,
+        "num_variations_per_object": 4,
+        "expert_module": "expert_pick_place",
+        "agent-teacher": ("UR5e_PickPlaceDistractor", "Panda_PickPlaceDistractor"),
+        "render_hw": (200, 360),
+        "object_set": 2,
+    },
+    "nut_assembly": {
+        "num_variations": 9,
+        "expert_module": "expert_nut_assembly",
+        "agent-teacher": ("UR5e_NutAssemblyDistractor", "Panda_NutAssemblyDistractor"),
+        "render_hw": (200, 360),
+        "object_set": 1,
+    },
+    "stack_block": {
+        "num_variations": 6,
+        "expert_module": "expert_block_stacking",
+        "agent-teacher": ("UR5e_BlockStacking", "Panda_BlockStacking"),
+        "render_hw": (200, 360),
+        "object_set": 1,
+    },
+    "button": {
+        "num_variations": 6,
+        "expert_module": "expert_button",
+        "agent-teacher": ("UR5e_Button", "Panda_Button"),
+        "render_hw": (200, 360),
+        "object_set": 1,
+    },
+}
+
+# The sim-env package is an EXTERNAL pinned dependency (~14k LoC of mujoco
+# task/controller/XML assets, not rebuilt here): install the reference fork's
+# `experiments/robot/robosuite/tasks` tree as `multi_task_robosuite_env`
+# (pip install -e, from ciccio42/openvla-oft @ main) next to robosuite==1.4
+# + mujoco. See docs/ROADMAP.md.
+MULTI_TASK_ENV_PACKAGE = "multi_task_robosuite_env"
+
+
 def build_env_context(env_name: str, controller_path: str, variation: int,
                       seed: int, gpu_id: int = -1):
-    """Construct the UR5e pick-place env (reference :99-120). Requires
-    robosuite + the fork's `multi_task_robosuite_env` package."""
+    """Construct the UR5e task env (reference `build_env_context`,
+    robosuite_utils.py:99-120): load the OSC-pose controller config, resolve
+    the task's expert-env factory from the external
+    `multi_task_robosuite_env` package, and build the agent env."""
+    import importlib
+    import json
+
     try:
-        import robosuite  # noqa: F401
+        from robosuite import load_controller_config
     except ImportError as e:
         raise ImportError(
             "robosuite evaluation requires the robosuite + mujoco packages "
-            "and the reference fork's multi_task_robosuite_env assets.") from e
-    raise NotImplementedError(
-        "Env assembly delegates to the fork's multi_task_robosuite_env "
-        "package; install it and wire TASK_MAP here.")
+            f"and the pinned {MULTI_TASK_ENV_PACKAGE} assets "
+            "(see docs/ROADMAP.md).") from e
+
+    if controller_path:
+        controller = load_controller_config(custom_fpath=controller_path)
+    else:  # in-repo defaults, identical to the fork's osc_pose.json
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            json.dump(OSC_POSE_CONTROLLER, f)
+        controller = load_controller_config(custom_fpath=f.name)
+
+    # 'ur5e_pick_place[_abs_pose]' style names map onto the base task entry.
+    base = next((k for k in ROBOSUITE_TASK_MAP if k in env_name), None)
+    assert base is not None, f"Got unsupported task {env_name}"
+    task = ROBOSUITE_TASK_MAP[base]
+
+    mod = importlib.import_module(
+        f"{MULTI_TASK_ENV_PACKAGE}.controllers.controllers."
+        f"{task['expert_module']}")
+    env_fn = mod.get_expert_trajectory
+    agent_name, _teacher = task["agent-teacher"]
+    return env_fn(agent_name, controller_type=controller, task=variation,
+                  ret_env=True, seed=seed, gpu_id=gpu_id,
+                  object_set=task["object_set"])

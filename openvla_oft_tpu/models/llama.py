@@ -297,6 +297,47 @@ def llama_prefill(
     return rms_norm(params["final_norm"], x, cfg.rms_norm_eps), new_cache
 
 
+def llama_suffix_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    suffix_embeds: jnp.ndarray,   # (B, S_suf, D)
+    prefix_k: jnp.ndarray,        # (L, B, T_pre, Hkv, Dh) post-RoPE
+    prefix_v: jnp.ndarray,        # (L, B, T_pre, Hkv, Dh)
+    positions: jnp.ndarray,       # (B, S_suf) logical RoPE positions
+    attn_mask: jnp.ndarray,       # (B, 1, S_suf, T_pre + S_suf) bool
+) -> jnp.ndarray:
+    """Forward over suffix rows attending to cached prefix K/V + themselves.
+
+    The diffusion serving path's inner step (models/prismatic.py): the static
+    [BOS][patches][proprio] prefix K/V is computed once by `llama_prefill` and
+    every DDIM step re-runs only the ~(prompt+chunk) suffix rows — the
+    reference instead rebuilds embeddings and reruns the full prefill per step
+    (modeling_prismatic.py:827-860). Returns post-final-norm hidden states
+    (B, S_suf, D).
+    """
+    b, s, _ = suffix_embeds.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    sin, cos = rope_sin_cos(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = suffix_embeds
+
+    def body(carry, inputs):
+        x = carry
+        p, pk, pv = inputs
+        xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
+        q, k, v = _qkv_proj(p["attn"], cfg, xa)
+        q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
+        keys = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
+        vals = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
+        o = attention(q, keys, vals, mask=attn_mask)
+        x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
+        xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
+        return x + _mlp(p["mlp"], xm), None
+
+    x, _ = jax.lax.scan(body, x, (params["layers"], prefix_k, prefix_v))
+    return rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+
+
 def llama_decode_step(
     params: Params,
     cfg: LlamaConfig,

@@ -406,6 +406,140 @@ def predict_action_hidden(
     return PredictOutput(actions_hidden, action_logits)
 
 
+# === Diffusion serving path: prefix-KV reuse across DDIM steps ===
+class DiffusionPrefix(NamedTuple):
+    """Loop-invariant state for the scanned DDIM loop.
+
+    The multimodal sequence [BOS][patches][proprio][t][prompt][actions][STOP]
+    (reference modeling_prismatic.py:826-830: the diffusion-timestep token is
+    appended AFTER patches+proprio) has a prefix — [BOS][patches][proprio],
+    ~515 of ~618 rows for LIBERO — that is bit-identical across all DDIM
+    steps: those rows precede the timestep token, so under causal attention
+    nothing they compute can depend on it. The reference reruns the full
+    prefill per step; here the prefix K/V is computed once and each step
+    forwards only the [t][prompt][actions][STOP] suffix (`llama_suffix_forward`).
+
+    Physical suffix layout [t][pads][prompt right-aligned][actions][STOP]:
+    the prompt-bucket pads move from the front of the whole sequence into the
+    suffix so the prefix extent is static; logical RoPE positions and the
+    attention mask reproduce the `predict_action_hidden` numerics exactly
+    (tested in tests/test_policy_diffusion.py).
+    """
+
+    prefix_k: jnp.ndarray    # (L, B, T_pre, Hkv, Dh) post-RoPE
+    prefix_v: jnp.ndarray    # (L, B, T_pre, Hkv, Dh)
+    text_rest: jnp.ndarray   # (B, P-1, D) prompt minus BOS, pads left, garbage at pads
+    text_valid: jnp.ndarray  # (B, P-1) bool
+    pad_counts: jnp.ndarray  # (B,) int32
+    stop_embed: jnp.ndarray  # (B, 1, D)
+
+
+def build_diffusion_prefix(
+    params: Params,
+    cfg: OpenVLAConfig,
+    input_ids: jnp.ndarray,     # (B, P) LEFT-padded prompt incl BOS..29871
+    prompt_mask: jnp.ndarray,   # (B, P) 1 = real token
+    pixels: jnp.ndarray,
+    proprio: Optional[jnp.ndarray] = None,
+) -> DiffusionPrefix:
+    """Run ViT+projector (+proprio token) once and prefill [BOS][patches][proprio]
+    K/V (reference computes vision once at modeling_prismatic.py:810 but still
+    reruns the LLM over it 50x)."""
+    from openvla_oft_tpu.models.llama import KVCache, llama_prefill
+
+    b, p_len = input_ids.shape
+    dtype = params["llm"]["embed"]["embedding"].dtype
+    prompt_mask = prompt_mask.astype(bool)
+    pad_counts = (p_len - jnp.sum(prompt_mask, axis=1)).astype(jnp.int32)
+
+    text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
+    text_embeds = text_embeds * prompt_mask[..., None]
+
+    lang_embedding = None
+    if cfg.use_film:
+        stop_for_lang = embed_tokens(
+            params["llm"],
+            jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
+        cat = jnp.concatenate([text_embeds, stop_for_lang], axis=1)
+        valid = jnp.concatenate([prompt_mask, jnp.ones((b, 1), bool)], axis=1)
+        lang_embedding = _masked_mean_language_embedding(cat, valid)
+
+    patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
+                                None, dtype)
+
+    # BOS sits at physical index pad_counts in the left-padded prompt.
+    bos = jnp.take_along_axis(text_embeds, pad_counts[:, None, None], axis=1)
+    prefix_embeds = jnp.concatenate([bos, patch_embeds], axis=1)
+    n_pre = prefix_embeds.shape[1]
+
+    cache = KVCache.create(cfg.llm, b, n_pre, dtype=dtype)
+    _, cache = llama_prefill(params["llm"], cfg.llm, prefix_embeds, cache)
+
+    # Suffix text = prompt minus BOS, keeping pads left: skip index pad_counts.
+    j = jnp.arange(p_len - 1, dtype=jnp.int32)[None, :]
+    src = j + (j >= pad_counts[:, None]).astype(jnp.int32)
+    text_rest = jnp.take_along_axis(text_embeds, src[..., None], axis=1)
+    text_valid = j >= pad_counts[:, None]
+
+    stop_embed = embed_tokens(
+        params["llm"], jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
+    return DiffusionPrefix(cache.k, cache.v, text_rest, text_valid,
+                           pad_counts, stop_embed)
+
+
+def diffusion_suffix_step(
+    params: Params,
+    cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    prefix: DiffusionPrefix,
+    diffusion_t_emb: jnp.ndarray,   # (B, 1, llm_dim)
+    noisy_actions: jnp.ndarray,     # (B, chunk, action_dim)
+) -> jnp.ndarray:
+    """One DDIM step's LLM work: forward [t][pads][prompt][actions][STOP]
+    suffix rows against the cached prefix. Returns actions_hidden
+    (B, chunk_len, D) — numerics match `predict_action_hidden`."""
+    from openvla_oft_tpu.models.llama import llama_suffix_forward
+
+    b = diffusion_t_emb.shape[0]
+    chunk = platform.chunk_len
+    dtype = params["llm"]["embed"]["embedding"].dtype
+    n_pre = prefix.prefix_k.shape[2]
+    p_len = prefix.text_rest.shape[1] + 1
+
+    na = noisy_actions.reshape(b, -1)[..., None]
+    action_embeds = noisy_action_projector(
+        params["noisy_action_projector"], na).astype(dtype)
+
+    suffix = jnp.concatenate(
+        [diffusion_t_emb.astype(dtype), prefix.text_rest, action_embeds,
+         prefix.stop_embed], axis=1)
+    s_suf = suffix.shape[1]  # = p_len + chunk + 1
+    i = jnp.arange(s_suf, dtype=jnp.int32)[None, :]
+
+    # Logical positions: t-token continues the prefix at n_pre; each later
+    # real row sits at n_pre + i - pad_count (pads clamp to junk, masked out).
+    positions = n_pre + jnp.where(
+        i == 0, 0, jnp.maximum(i - prefix.pad_counts[:, None], 0))
+
+    key_valid = jnp.concatenate(
+        [jnp.ones((b, 1), bool), prefix.text_valid,
+         jnp.ones((b, chunk + 1), bool)], axis=1)
+    causal = jnp.tril(jnp.ones((s_suf, s_suf), bool))[None]
+    window = (i >= p_len)  # actions + STOP: the bidirectional block
+    bidir = window[:, :, None] & window[:, None, :]
+    suf_mask = (causal | bidir) & key_valid[:, None, :]
+    mask = jnp.concatenate(
+        [jnp.ones((b, s_suf, n_pre), bool), suf_mask], axis=-1)[:, None]
+
+    hidden = llama_suffix_forward(params["llm"], cfg.llm, suffix,
+                                  prefix.prefix_k, prefix.prefix_v,
+                                  positions.astype(jnp.int32), mask)
+    # Predictor rows: last prompt token (29871) through second-to-last action
+    # slot — suffix indices [p_len-1, p_len-1+chunk) (next-token offset, see
+    # predict_action_hidden).
+    return hidden[:, p_len - 1:p_len - 1 + chunk]
+
+
 # === Autoregressive discrete decoding (base-OpenVLA parity) ===
 def predict_action_autoregressive(
     params: Params,

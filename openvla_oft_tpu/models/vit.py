@@ -95,6 +95,55 @@ def init_film_params(key, cfg: ViTConfig, llm_dim: int, dtype=jnp.float32) -> Pa
     }
 
 
+def fuse_vit_inference_weights(params: Params) -> Params:
+    """Serving-path epilogue folding (numerics-exact up to fp reassociation):
+
+      - LayerNorm affine folds into the FOLLOWING matmul:
+        (z*s+b) @ W = z @ (diag(s) W) + b W  -> norm1 into qkv, norm2 into fc1;
+        the norm keeps only the (data-dependent) standardization.
+      - LayerScale folds into the PRECEDING matmul's output channels:
+        (x W + b) * ls = x (W diag(ls)) + b*ls  -> ls1 into proj, ls2 into fc2.
+
+    Round-2 profiling put the ViT pair at 35-40% MFU with the gap attributed
+    to elementwise/normalization epilogues (docs/PERFORMANCE.md) — each fold
+    deletes whole VPU passes over the activations instead of hoping XLA
+    hides them. Apply at load time, before any quantization; training keeps
+    unfused weights (the folds change gradient paths).
+    """
+    layers = dict(params["layers"])
+    f32 = jnp.float32
+
+    def fold_into_following(norm, lin):
+        s = norm["scale"].astype(f32)[..., None]        # (L, d, 1)
+        k = lin["kernel"].astype(f32)
+        new = {"kernel": (k * s).astype(lin["kernel"].dtype)}
+        b = jnp.einsum("ld,ldo->lo", norm["bias"].astype(f32), k)
+        if "bias" in lin:
+            b = b + lin["bias"].astype(f32)
+        new["bias"] = b.astype(lin.get("bias", lin["kernel"]).dtype)
+        return new
+
+    def fold_into_preceding(lin, ls):
+        g = ls["scale_factor"].astype(f32)              # (L, d)
+        k = lin["kernel"].astype(f32) * g[:, None, :]
+        new = {"kernel": k.astype(lin["kernel"].dtype)}
+        if "bias" in lin:
+            new["bias"] = (lin["bias"].astype(f32) * g).astype(lin["bias"].dtype)
+        return new
+
+    attn = dict(layers["attn"])
+    mlp = dict(layers["mlp"])
+    attn["qkv"] = fold_into_following(layers["norm1"], attn["qkv"])
+    mlp["fc1"] = fold_into_following(layers["norm2"], mlp["fc1"])
+    layers["norm1"], layers["norm2"] = {}, {}           # standardize-only
+    if "ls1" in layers:
+        attn["proj"] = fold_into_preceding(attn["proj"], layers.pop("ls1"))
+    if "ls2" in layers:
+        mlp["fc2"] = fold_into_preceding(mlp["fc2"], layers.pop("ls2"))
+    layers["attn"], layers["mlp"] = attn, mlp
+    return {**params, "layers": layers}
+
+
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, N, patch*patch*3), row-major patch grid.
 

@@ -64,13 +64,18 @@ def rms_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """Standard LayerNorm with learned scale/bias, stats in fp32."""
+    """Standard LayerNorm with learned scale/bias, stats in fp32.
+
+    An empty param dict means the affine was folded into the following matmul
+    (models/vit.py::fuse_vit_inference_weights) — standardize only."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     normed = (xf - mean) * jax.lax.rsqrt(var + eps)
-    out = normed * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return out.astype(x.dtype)
+    if "scale" in p:
+        normed = normed * p["scale"].astype(jnp.float32) \
+            + p["bias"].astype(jnp.float32)
+    return normed.astype(x.dtype)
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:

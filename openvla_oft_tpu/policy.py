@@ -40,8 +40,10 @@ def _init_llm_params(key, llm_cfg, dtype):
         return init_phi_params(key, llm_cfg, dtype=dtype)
     return init_llama_params(key, llm_cfg, dtype=dtype)
 from openvla_oft_tpu.models.prismatic import (
-    detokenize_discrete_actions,
+    build_diffusion_prefix,
     compute_patch_features,
+    detokenize_discrete_actions,
+    diffusion_suffix_step,
     predict_action_hidden,
     prepare_prompt_ids,
     unnormalize_actions,
@@ -93,6 +95,59 @@ def init_openvla_params(
     return params
 
 
+def serve_action_chunk(
+    params: Params,
+    cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    frames_u8: jnp.ndarray,        # (B, N, H, W, 3) uint8 camera frames
+    input_ids: jnp.ndarray,        # (B, P) LEFT-padded prompt
+    prompt_mask: jnp.ndarray,      # (B, P)
+    proprio: Optional[jnp.ndarray],
+    action_low: jnp.ndarray,       # (action_dim,) q01 / min
+    action_high: jnp.ndarray,      # (action_dim,) q99 / max
+    action_mask: jnp.ndarray,      # (action_dim,) bool unnorm mask
+    proprio_low: Optional[jnp.ndarray] = None,
+    proprio_high: Optional[jnp.ndarray] = None,
+    use_flash="auto",
+    center_crop: bool = True,
+    resize_size: int = 224,
+) -> jnp.ndarray:
+    """The WHOLE serving hot path as one jittable program: uint8 camera frames
+    -> fused device preprocessing (lanczos resize -> 0.9 center crop ->
+    normalize -> backbone stack) -> prefill with parallel decoding -> L1 head
+    -> device un-normalization. Returns unnormalized actions
+    (B, num_actions_chunk, action_dim).
+
+    This is everything the reference's `get_vla_action` + `predict_action` pay
+    for per chunk (openvla_utils.py:678-796, modeling_prismatic.py:946-1060)
+    except the host JPEG round trip — the A100 baseline runs the image
+    conditioning on CPU; here it rides the same XLA program as the model.
+    """
+    from openvla_oft_tpu.models.action_heads import l1_head_predict
+    from openvla_oft_tpu.processing.image_processing import device_preprocess
+
+    b, n = frames_u8.shape[:2]
+    flat = frames_u8.reshape((b * n,) + frames_u8.shape[2:])
+    pixels = device_preprocess(cfg, flat, resize_size=resize_size,
+                               center_crop=center_crop)
+    pixels = pixels.reshape((b, n) + pixels.shape[1:])
+
+    if proprio is not None and proprio_low is not None:
+        # Reference `normalize_proprio` (openvla_utils.py:645-675): clip to
+        # bounds then scale to [-1, 1].
+        p = jnp.clip(proprio, proprio_low, proprio_high)
+        proprio = 2.0 * (p - proprio_low) / (proprio_high - proprio_low + 1e-8) - 1.0
+
+    out = predict_action_hidden(params, cfg, platform, input_ids=input_ids,
+                                prompt_mask=prompt_mask, pixels=pixels,
+                                proprio=proprio, use_flash=use_flash)
+    norm = l1_head_predict(params["action_head"],
+                           out.actions_hidden.astype(jnp.float32), platform)
+    # Device analog of `_unnormalize_actions` (modeling_prismatic.py:772-791).
+    un = 0.5 * (norm + 1.0) * (action_high - action_low + 1e-8) + action_low
+    return jnp.where(action_mask, un, norm)
+
+
 @dataclasses.dataclass
 class OpenVLAPolicy:
     """Owns params + compiled predict functions; one per loaded checkpoint."""
@@ -113,6 +168,9 @@ class OpenVLAPolicy:
     num_diffusion_steps_inference: Optional[int] = None
     use_flash: Any = "auto"
     tokenizer: Any = None
+    # Reuse the static [BOS][patches][proprio] prefix K/V across DDIM steps
+    # (Llama-family only; Phi-2 falls back to full prefills per step).
+    diffusion_prefix_kv: bool = True
 
     def __post_init__(self):
         if self.tokenizer is None:
@@ -147,17 +205,16 @@ class OpenVLAPolicy:
                         noise_key=None):
         """Reverse diffusion as ONE lax.scan program — the reference reruns
         the Python loop with 50 full HF forwards (modeling_prismatic.py:793-877);
-        here all 50 prefills compile into a single scanned computation."""
+        here all 50 steps compile into a single scanned computation, and (for
+        Llama-family LLMs) the static [BOS][patches][proprio] prefix K/V is
+        computed once so each step forwards only ~(prompt+chunk) suffix rows
+        (~6x less LLM work per step; see models/prismatic.py DiffusionPrefix)."""
+        from openvla_oft_tpu.config import PhiConfig
+
         sched = diffusion_scheduler(self.num_diffusion_steps)
         n_inf = self.num_diffusion_steps_inference or self.num_diffusion_steps
         ts = jnp.asarray(sched.timesteps(n_inf))
         b = input_ids.shape[0]
-        # Vision is loop-invariant: compute the projected patch block ONCE
-        # outside the scan (reference clones projected_patch_embeddings,
-        # modeling_prismatic.py:810) instead of relying on XLA to hoist the
-        # dual-ViT forward out of the while loop.
-        patches = compute_patch_features(params, self.cfg, input_ids,
-                                         prompt_mask, pixels)
         # Fresh starting noise per call (reference torch.randn,
         # modeling_prismatic.py:1029-1032); key threaded from the host.
         key = noise_key if noise_key is not None else jax.random.PRNGKey(0)
@@ -165,16 +222,35 @@ class OpenVLAPolicy:
             key, (b, self.platform.num_actions_chunk, self.platform.action_dim),
             dtype=jnp.float32)
 
+        use_prefix_kv = (self.diffusion_prefix_kv
+                         and not isinstance(self.cfg.llm, PhiConfig))
+        if use_prefix_kv:
+            prefix = build_diffusion_prefix(params, self.cfg, input_ids,
+                                            prompt_mask, pixels, proprio)
+        else:
+            # Full-prefill fallback (Phi-2 parallel blocks; also the parity
+            # oracle for the prefix-KV path). Vision is still loop-invariant:
+            # compute the projected patch block ONCE outside the scan
+            # (reference clones projected_patch_embeddings,
+            # modeling_prismatic.py:810).
+            patches = compute_patch_features(params, self.cfg, input_ids,
+                                             prompt_mask, pixels)
+
         def body(x_t, t):
             t_emb = sinusoidal_time_encoding(jnp.broadcast_to(t[None], (b,)),
                                              self.cfg.llm_dim)[:, None, :]
-            out = predict_action_hidden(
-                params, self.cfg, self.platform, input_ids=input_ids,
-                prompt_mask=prompt_mask, pixels=pixels, proprio=proprio,
-                noisy_actions=x_t, diffusion_t_emb=t_emb,
-                use_flash=self.use_flash, precomputed_patches=patches)
+            if use_prefix_kv:
+                actions_hidden = diffusion_suffix_step(
+                    params, self.cfg, self.platform, prefix, t_emb, x_t)
+            else:
+                out = predict_action_hidden(
+                    params, self.cfg, self.platform, input_ids=input_ids,
+                    prompt_mask=prompt_mask, pixels=pixels, proprio=proprio,
+                    noisy_actions=x_t, diffusion_t_emb=t_emb,
+                    use_flash=self.use_flash, precomputed_patches=patches)
+                actions_hidden = out.actions_hidden
             eps = diffusion_predict_noise(
-                params["action_head"], out.actions_hidden.astype(jnp.float32),
+                params["action_head"], actions_hidden.astype(jnp.float32),
                 self.platform)
             x_prev = sched.step(eps, t, x_t, n_inf)
             return x_prev, None

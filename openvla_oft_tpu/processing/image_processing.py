@@ -163,6 +163,42 @@ def make_device_transform(cfg: OpenVLAConfig):
     return transform
 
 
+def normalize_and_stack(cfg: OpenVLAConfig, x01: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float (M, S, S, 3) -> (M, n_backbones, S, S, 3) per-backbone
+    normalized, channel-group order [primary, fused]
+    (processing_prismatic.py:128-145). Pure jnp — usable inside a larger jit."""
+    outs = []
+    for v in cfg.vision_configs:
+        mean = jnp.asarray(v.mean, jnp.float32)
+        std = jnp.asarray(v.std, jnp.float32)
+        outs.append((x01 - mean) / std)
+    return jnp.stack(outs, axis=1)
+
+
+def device_preprocess(cfg: OpenVLAConfig, images_u8: jnp.ndarray,
+                      resize_size: int = 224,
+                      center_crop: bool = True) -> jnp.ndarray:
+    """Fused eval-side preprocessing, batched, jit-inlinable: uint8 camera
+    frames (M, H, W, 3) -> (M, n_backbones, S, S, 3) normalized pixels.
+
+    Device analog of `prepare_images_for_vla` minus the host JPEG round trip
+    (openvla_utils.py:678-708): lanczos3 resize -> optional 0.9-area center
+    crop -> [0,1] -> per-backbone normalize -> backbone stack. The
+    intermediate uint8 quantizations of the staged host path (round after
+    resize, floor(v*255.5) after crop) are kept for bit-parity with
+    `resize_lanczos3` + `center_crop_resize`.
+    """
+    m = images_u8.shape[0]
+    x = jax.image.resize(images_u8.astype(jnp.float32),
+                         (m, resize_size, resize_size, 3),
+                         method="lanczos3", antialias=True)
+    x = jnp.clip(jnp.round(x), 0, 255)
+    if center_crop:
+        x = center_crop_resize(x.astype(jnp.uint8), 0.9, batched=True)
+    x01 = x.astype(jnp.float32) / 255.0
+    return normalize_and_stack(cfg, x01)
+
+
 def prepare_images_for_policy(
     images: Sequence[np.ndarray],
     cfg: OpenVLAConfig,

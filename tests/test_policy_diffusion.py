@@ -39,6 +39,61 @@ def test_diffusion_policy_end_to_end(rng):
     assert np.abs(a1 - a2).max() > 1e-6
 
 
+def test_diffusion_prefix_kv_matches_full_prefill(rng):
+    """The prefix-KV suffix path must reproduce the full-prefill numerics:
+    (a) one step's actions_hidden vs predict_action_hidden, (b) the whole
+    scanned DDIM trajectory with the same starting noise."""
+    import jax.numpy as jnp
+    from openvla_oft_tpu.models.action_heads import sinusoidal_time_encoding
+    from openvla_oft_tpu.models.prismatic import (
+        build_diffusion_prefix,
+        diffusion_suffix_step,
+        predict_action_hidden,
+    )
+
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head="diffusion")
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((1, 1, 2, h, h, 3)), jnp.float32)
+    proprio = jnp.asarray(rng.random((1, LIBERO.proprio_dim)), jnp.float32)
+    bucket = 24
+    # left-padded prompt: 5 pads + BOS + 17 tokens + 29871
+    ids = np.zeros((1, bucket), np.int32)
+    mask = np.zeros((1, bucket), np.int32)
+    real = rng.integers(3, 100, size=18).tolist() + [29871]
+    ids[0, bucket - len(real):] = real
+    ids[0, bucket - len(real)] = 1  # BOS
+    mask[0, bucket - len(real):] = 1
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    x_t = jnp.asarray(rng.standard_normal(
+        (1, LIBERO.num_actions_chunk, LIBERO.action_dim)), jnp.float32)
+    t_emb = sinusoidal_time_encoding(jnp.asarray([7]), CFG.llm_dim)[:, None, :]
+
+    full = predict_action_hidden(params, CFG, LIBERO, input_ids=ids,
+                                 prompt_mask=mask, pixels=pixels,
+                                 proprio=proprio, noisy_actions=x_t,
+                                 diffusion_t_emb=t_emb, use_flash=False)
+    prefix = build_diffusion_prefix(params, CFG, ids, mask, pixels, proprio)
+    fast = diffusion_suffix_step(params, CFG, LIBERO, prefix, t_emb, x_t)
+    np.testing.assert_allclose(np.asarray(fast),
+                               np.asarray(full.actions_hidden),
+                               rtol=1e-4, atol=1e-4)
+
+    # whole-loop parity with identical starting noise
+    pol_kw = dict(cfg=CFG, platform=LIBERO, params=params, head="diffusion",
+                  prompt_bucket=bucket, num_diffusion_steps_inference=4)
+    fast_pol = OpenVLAPolicy(**pol_kw, diffusion_prefix_kv=True)
+    slow_pol = OpenVLAPolicy(**pol_kw, diffusion_prefix_kv=False)
+    key = jax.random.PRNGKey(3)
+    a_fast, _ = fast_pol._predict_jit(params, ids, mask, pixels, proprio,
+                                      noise_key=key)
+    a_slow, _ = slow_pol._predict_jit(params, ids, mask, pixels, proprio,
+                                      noise_key=key)
+    np.testing.assert_allclose(np.asarray(a_fast), np.asarray(a_slow),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_libero_eval_helpers(rng):
     from experiments.robot.libero.libero_utils import quat2axisangle
     from experiments.robot.libero.run_libero_eval import (

@@ -1,0 +1,83 @@
+"""`serve_action_chunk` (one-jit serving path: uint8 frames -> unnormalized
+actions) must match the staged host pipeline exactly: resize -> crop ->
+normalize/stack -> predict_action_hidden -> L1 head -> unnormalize_actions."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import openvla_oft_tpu.config as C
+from openvla_oft_tpu.config import OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP
+from openvla_oft_tpu.constants import LIBERO, NormalizationType
+from openvla_oft_tpu.models.action_heads import l1_head_predict
+from openvla_oft_tpu.models.prismatic import (
+    predict_action_hidden,
+    unnormalize_actions,
+)
+from openvla_oft_tpu.policy import init_openvla_params, serve_action_chunk
+from openvla_oft_tpu.processing.image_processing import (
+    center_crop_resize,
+    make_device_transform,
+    resize_lanczos3,
+)
+
+C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+CFG = OpenVLAConfig(vision_backbone_id="tiny-dual", llm_backbone_id="tiny-llama")
+
+
+def test_serve_action_chunk_matches_staged_pipeline(rng):
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    size = TINY_DINOV2.image_size
+    h0 = size + 12  # raw camera frames larger than the model resolution
+    frames = (rng.random((1, 1, h0, h0, 3)) * 255).astype(np.uint8)
+    proprio_raw = rng.random((1, LIBERO.proprio_dim)).astype(np.float32) * 3 - 1
+
+    bucket = 16
+    ids = np.zeros((1, bucket), np.int32)
+    mask = np.zeros((1, bucket), np.int32)
+    real = [1] + list(rng.integers(10, 1000, 8)) + [29871]
+    ids[0, bucket - len(real):] = real
+    mask[0, bucket - len(real):] = 1
+
+    low = np.linspace(-0.9, -0.2, LIBERO.action_dim).astype(np.float32)
+    high = np.linspace(0.2, 0.9, LIBERO.action_dim).astype(np.float32)
+    amask = np.asarray([True] * (LIBERO.action_dim - 1) + [False])
+    p_low = np.full((LIBERO.proprio_dim,), -1.5, np.float32)
+    p_high = np.full((LIBERO.proprio_dim,), 2.5, np.float32)
+
+    fused = np.asarray(serve_action_chunk(
+        params, CFG, LIBERO, frames_u8=jnp.asarray(frames),
+        input_ids=jnp.asarray(ids), prompt_mask=jnp.asarray(mask),
+        proprio=jnp.asarray(proprio_raw),
+        action_low=jnp.asarray(low), action_high=jnp.asarray(high),
+        action_mask=jnp.asarray(amask),
+        proprio_low=jnp.asarray(p_low), proprio_high=jnp.asarray(p_high),
+        use_flash=False, resize_size=size))
+
+    # staged host path
+    img = np.asarray(resize_lanczos3(jnp.asarray(frames[0, 0]), size))
+    img = np.asarray(center_crop_resize(jnp.asarray(img), 0.9))
+    pixels = np.asarray(make_device_transform(CFG)(jnp.asarray(img[None])))
+    p_clip = np.clip(proprio_raw, p_low, p_high)
+    p_norm = 2.0 * (p_clip - p_low) / (p_high - p_low + 1e-8) - 1.0
+    out = predict_action_hidden(
+        params, CFG, LIBERO, input_ids=jnp.asarray(ids),
+        prompt_mask=jnp.asarray(mask), pixels=jnp.asarray(pixels)[None],
+        proprio=jnp.asarray(p_norm), use_flash=False)
+    norm = np.asarray(l1_head_predict(
+        params["action_head"], out.actions_hidden.astype(jnp.float32), LIBERO))
+    staged = unnormalize_actions(
+        norm, {"min": low, "max": high, "mask": amask},
+        NormalizationType.BOUNDS)
+
+    assert fused.shape == (1, LIBERO.num_actions_chunk, LIBERO.action_dim)
+    np.testing.assert_allclose(fused, staged, rtol=1e-5, atol=1e-5)
+    # the masked dim passes through un-unnormalized
+    np.testing.assert_allclose(fused[..., -1], norm[..., -1], atol=1e-6)

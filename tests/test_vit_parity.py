@@ -196,3 +196,40 @@ def test_clip_parity(rng):
     # quick-GELU sigmoid differs slightly between torch and jax transcendental
     # implementations; tolerance reflects that
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_fuse_vit_inference_weights_exact():
+    """LN-affine / LayerScale folding must be numerics-exact (fp32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openvla_oft_tpu.config import TINY_DINOV2, TINY_SIGLIP
+    from openvla_oft_tpu.models.vit import (
+        fuse_vit_inference_weights,
+        init_vit_params,
+        vit_featurize,
+    )
+
+    rng = np.random.default_rng(0)
+    for i, cfg in enumerate((TINY_DINOV2, TINY_SIGLIP)):
+        params = init_vit_params(jax.random.PRNGKey(i), cfg, dtype=jnp.float32)
+        # non-trivial norm affines + LayerScale so the fold actually moves data
+        L = cfg.depth
+        for norm in ("norm1", "norm2"):
+            params["layers"][norm]["scale"] = jnp.asarray(
+                rng.uniform(0.5, 1.5, (L, cfg.width)), jnp.float32)
+            params["layers"][norm]["bias"] = jnp.asarray(
+                rng.normal(0, 0.1, (L, cfg.width)), jnp.float32)
+        for ls in ("ls1", "ls2"):
+            if ls in params["layers"]:
+                params["layers"][ls]["scale_factor"] = jnp.asarray(
+                    rng.uniform(0.5, 2.0, (L, cfg.width)), jnp.float32)
+        imgs = jnp.asarray(rng.normal(0, 1, (2, cfg.image_size,
+                                             cfg.image_size, 3)), jnp.float32)
+        ref = np.asarray(vit_featurize(params, cfg, imgs))
+        fused = fuse_vit_inference_weights(params)
+        assert "scale" not in fused["layers"]["norm1"]
+        assert "ls1" not in fused["layers"]
+        got = np.asarray(vit_featurize(fused, cfg, imgs))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

@@ -1,0 +1,100 @@
+"""Component-level latency breakdown on one TPU chip (LIBERO geometry).
+
+Times each serving-path stage as its own queued-execution measurement:
+device preprocessing, each ViT backbone (folded and unfolded), projector,
+Llama prefill, and the full fused `serve_action_chunk`. Guides the bf16
+optimization work (docs/PERFORMANCE.md component split).
+
+Usage: python vla_scripts/bench_components.py [--quant int8] [--k 20]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def _measure(fn, args, k, label):
+    jfn = jax.jit(fn)
+
+    def sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+    sync(jfn(*args))
+    sync(jfn(*args))
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(jnp.zeros(()))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(k):
+        out = jfn(*args)
+    sync(out)
+    ms = (time.perf_counter() - t0 - rtt) / k * 1e3
+    print(f"{label:36s} {ms:8.2f} ms")
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quant", default=None, choices=[None, "int8"])
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--skip_full", action="store_true")
+    args = ap.parse_args()
+
+    from __graft_entry__ import _cheap_params, _flagship_cfg, entry
+    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.models.llama import llama_model
+    from openvla_oft_tpu.models.projector import vision_projector
+    from openvla_oft_tpu.models.vit import vit_featurize
+    from openvla_oft_tpu.processing.image_processing import device_preprocess
+
+    cfg = _flagship_cfg()
+    platform = LIBERO
+    params = _cheap_params(cfg, platform, quant=args.quant)
+    rng = np.random.default_rng(0)
+
+    frames = jnp.asarray(rng.integers(0, 255, (2, 256, 256, 3)), jnp.uint8)
+    _measure(lambda f: device_preprocess(cfg, f), (frames,), args.k,
+             "preprocess (2 frames 256->224)")
+
+    names = ("featurizer", "fused_featurizer")
+    for name, vcfg in zip(names, cfg.vision_configs):
+        imgs = jnp.asarray(rng.normal(0, 1, (2, 224, 224, 3)), jnp.bfloat16)
+        _measure(lambda p, x, vc=vcfg: vit_featurize(p, vc, x),
+                 (params["vision_backbone"][name], imgs), args.k,
+                 f"vit {name} ({vcfg.width}x{vcfg.depth - 1})")
+
+    feats = jnp.asarray(rng.normal(0, 1, (1, 512, cfg.vision_dim)),
+                        jnp.bfloat16)
+    _measure(lambda p, f: vision_projector(p, f),
+             (params["projector"], feats), args.k, "projector (512x2176)")
+
+    s = 48 + 512 + 1 + platform.chunk_len + 1
+    embeds = jnp.asarray(rng.normal(0, 1, (1, s, cfg.llm_dim)), jnp.bfloat16)
+    bidir = jnp.zeros((1, s), bool).at[:, -(platform.chunk_len + 1):].set(True)
+    _measure(lambda p, e: llama_model(p, cfg.llm, e, bidir_mask=bidir),
+             (params["llm"], embeds), args.k, f"llama prefill (S={s})")
+
+    if not args.skip_full:
+        import os
+
+        if args.quant:
+            os.environ["OPENVLA_QUANT"] = args.quant
+        fn, eargs = entry()
+        _measure(fn, eargs, args.k, "FULL serve_action_chunk")
+
+
+if __name__ == "__main__":
+    main()

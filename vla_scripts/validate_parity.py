@@ -40,6 +40,9 @@ class ParityConfig:
     use_proprio: bool = True
     center_crop: bool = True
     atol: float = 2e-2                     # bf16 end-to-end tolerance
+    # Day-one chaining (PARITY_RUNBOOK.md: one command from import to bench):
+    calibrate_int8: bool = False           # re-run int8 calibration on PASS
+    run_bench: bool = False                # run bench.py measurement on PASS
 
 
 def _report(name: str, ours: np.ndarray, ref: Optional[np.ndarray],
@@ -54,6 +57,31 @@ def _report(name: str, ours: np.ndarray, ref: Optional[np.ndarray],
     print(f"  [{'OK ' if ok else 'FAIL'}] {name}: max|Δ|={err:.5f} "
           f"(atol {atol}) {stats}")
     return ok
+
+
+def _flip_siglip_act(model_cfg):
+    """Register a registry variant with the SigLIP GELU flipped
+    (gelu_tanh <-> gelu); returns a config pointing at it, or None when the
+    backbone has no SigLIP entry. The one-field switch PARITY_RUNBOOK.md
+    describes, automated."""
+    import dataclasses as dc
+
+    import openvla_oft_tpu.config as C
+
+    cfgs = model_cfg.vision_configs
+    # SigLIP: the entry whose act is a GELU variant and mean is 0.5-centered
+    # (CLIP uses quick_gelu; DINOv2/IN1K use exact gelu with imagenet stats).
+    def is_siglip(v):
+        return v.act in ("gelu", "gelu_tanh") and tuple(v.mean) == (0.5, 0.5, 0.5)
+
+    if not any(is_siglip(v) for v in cfgs):
+        return None
+    new = tuple(
+        dc.replace(v, act=("gelu" if v.act == "gelu_tanh" else "gelu_tanh"))
+        if is_siglip(v) else v for v in cfgs)
+    key = model_cfg.vision_backbone_id + "#gelu-flipped"
+    C._VISION_REGISTRY[key] = new
+    return dc.replace(model_cfg, vision_backbone_id=key)
 
 
 def validate(cfg: ParityConfig) -> bool:
@@ -111,7 +139,26 @@ def validate(cfg: ParityConfig) -> bool:
     feats = np.asarray(vision_backbone_forward(
         params["vision_backbone"], model_cfg,
         jnp.asarray(pixels)[None].astype(jnp.bfloat16)), np.float32)
-    ok &= _report("vit_features", feats, refs.get("vit_features"), cfg.atol)
+    ref_feats = refs.get("vit_features")
+    if ref_feats is not None:
+        # SigLIP GELU variant auto-try (docs/ROADMAP.md open question: the
+        # reference's pinned timm==0.9.10 may run exact OR tanh GELU — decide
+        # empirically against the recorded activations and report the winner).
+        err_a = np.abs(feats - ref_feats.astype(np.float32)).max()
+        flipped_cfg = _flip_siglip_act(model_cfg)
+        if flipped_cfg is not None:
+            feats_b = np.asarray(vision_backbone_forward(
+                params["vision_backbone"], flipped_cfg,
+                jnp.asarray(pixels)[None].astype(jnp.bfloat16)), np.float32)
+            err_b = np.abs(feats_b - ref_feats.astype(np.float32)).max()
+            act_a = model_cfg.vision_configs[-1].act
+            act_b = flipped_cfg.vision_configs[-1].act
+            print(f"  [gelu] SigLIP {act_a}: max|d|={err_a:.5f}  "
+                  f"{act_b}: max|d|={err_b:.5f} -> "
+                  f"{'keep ' + act_a if err_a <= err_b else 'SWITCH TO ' + act_b}")
+            if err_b < err_a:
+                model_cfg, feats = flipped_cfg, feats_b
+    ok &= _report("vit_features", feats, ref_feats, cfg.atol)
     proj = np.asarray(vision_projector(params["projector"],
                                        jnp.asarray(feats)), np.float32)
     ok &= _report("projected_patches", proj, refs.get("projected_patches"),
@@ -129,6 +176,26 @@ def validate(cfg: ParityConfig) -> bool:
     ok &= _report("actions", np.asarray(actions), refs.get("actions"), cfg.atol)
 
     print("PARITY:", "PASS" if ok else "FAIL")
+
+    if ok and cfg.calibrate_int8:
+        print("[+] int8 re-calibration (ops/quant_calibrate.py)")
+        from openvla_oft_tpu.ops.quant_calibrate import (
+            calibrate,
+            random_observations,
+        )
+
+        report = calibrate(model_cfg, platform, params,
+                           random_observations(model_cfg, platform, n=4),
+                           low_memory=True)
+        print("    action_l1:", report["action_l1"],
+              "verdict:", report["verdict"])
+    if ok and cfg.run_bench:
+        print("[+] bench.py (headline serving latency)")
+        import subprocess
+
+        subprocess.run([sys.executable,
+                        str(Path(__file__).resolve().parent.parent / "bench.py")],
+                       check=False)
     return ok
 
 
