@@ -79,10 +79,18 @@ def flash_attention(
     bidir_mask: Optional[jnp.ndarray] = None,  # (B, S) bool (S == T)
     bidir_block: Optional[Tuple[int, int]] = None,  # static (start, len)
     mask: Optional[jnp.ndarray] = None,  # unsupported here; use XLA path
-    block_q: int = 256,
+    block_q: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Flash attention for self-attention (S == T). Returns (B, S, H, D)."""
+    """Flash attention for self-attention (S == T). Returns (B, S, H, D).
+
+    block_q: query-block rows per program (default 256; OPENVLA_FLASH_BLOCK_Q
+    overrides for tuning — at S=618 a 256 block pads queries 618->768 (+24%)
+    while 128 pads only to 640)."""
     assert mask is None, "explicit (S,S) masks use the XLA path"
+    if block_q is None:
+        import os
+
+        block_q = int(os.environ.get("OPENVLA_FLASH_BLOCK_Q", "256"))
     b, s, h, d = q.shape
     t, hkv = k.shape[1], k.shape[2]
     assert s == t, "flash kernel is for self-attention prefill"

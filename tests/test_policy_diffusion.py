@@ -94,6 +94,50 @@ def test_diffusion_prefix_kv_matches_full_prefill(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_diffusion_prefix_kv_aloha_geometry(rng):
+    """Multi-image (3 cams) + ALOHA 25x14 chunk + no proprio: the prefix/
+    suffix split must hold at every platform geometry, not just LIBERO."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    from openvla_oft_tpu.constants import ALOHA
+    from openvla_oft_tpu.models.action_heads import sinusoidal_time_encoding
+    from openvla_oft_tpu.models.prismatic import (
+        build_diffusion_prefix,
+        diffusion_suffix_step,
+        predict_action_hidden,
+    )
+
+    cfg = dc.replace(CFG, num_images_in_input=3)
+    params = init_openvla_params(jax.random.PRNGKey(2), cfg, ALOHA,
+                                 dtype=jnp.float32, head="diffusion",
+                                 use_proprio=False)
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((1, 3, 2, h, h, 3)), jnp.float32)
+    bucket = 16
+    ids = np.zeros((1, bucket), np.int32)
+    mask = np.zeros((1, bucket), np.int32)
+    real = [1] + list(rng.integers(3, 100, 9).tolist()) + [29871]
+    ids[0, bucket - len(real):] = real
+    mask[0, bucket - len(real):] = 1
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    x_t = jnp.asarray(rng.standard_normal(
+        (1, ALOHA.num_actions_chunk, ALOHA.action_dim)), jnp.float32)
+    t_emb = sinusoidal_time_encoding(jnp.asarray([42]), cfg.llm_dim)[:, None, :]
+
+    full = predict_action_hidden(params, cfg, ALOHA, input_ids=ids,
+                                 prompt_mask=mask, pixels=pixels,
+                                 proprio=None, noisy_actions=x_t,
+                                 diffusion_t_emb=t_emb, use_flash=False)
+    prefix = build_diffusion_prefix(params, cfg, ids, mask, pixels, None)
+    fast = diffusion_suffix_step(params, cfg, ALOHA, prefix, t_emb, x_t)
+    assert fast.shape == (1, ALOHA.chunk_len, cfg.llm_dim)
+    np.testing.assert_allclose(np.asarray(fast),
+                               np.asarray(full.actions_hidden),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_libero_eval_helpers(rng):
     from experiments.robot.libero.libero_utils import quat2axisangle
     from experiments.robot.libero.run_libero_eval import (

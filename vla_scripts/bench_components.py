@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--quant", default=None, choices=[None, "int8"])
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--skip_full", action="store_true")
+    ap.add_argument("--flash", action="store_true",
+                    help="also time the Pallas flash prefill at block_q 128/256")
     args = ap.parse_args()
 
     from __graft_entry__ import _cheap_params, _flagship_cfg, entry
@@ -86,6 +88,16 @@ def main():
     bidir = jnp.zeros((1, s), bool).at[:, -(platform.chunk_len + 1):].set(True)
     _measure(lambda p, e: llama_model(p, cfg.llm, e, bidir_mask=bidir),
              (params["llm"], embeds), args.k, f"llama prefill (S={s})")
+    if args.flash:
+        import os
+
+        for bq in (128, 256):
+            os.environ["OPENVLA_FLASH_BLOCK_Q"] = str(bq)
+            _measure(lambda p, e: llama_model(p, cfg.llm, e, bidir_mask=bidir,
+                                              use_flash=True),
+                     (params["llm"], embeds), args.k,
+                     f"llama prefill FLASH bq={bq} (S={s})")
+        os.environ.pop("OPENVLA_FLASH_BLOCK_Q", None)
 
     if not args.skip_full:
         import os
