@@ -74,6 +74,9 @@ class GenerateConfig:
     use_proprio: bool = True
 
     center_crop: bool = True
+    # Run preprocessing+unnorm inside the compiled serving program
+    # (policy.serve_action_chunk; L1 head only, skips host JPEG)
+    device_preprocess: bool = False
     num_open_loop_steps: int = NUM_ACTIONS_CHUNK
     unnorm_key: Union[str, Path] = ""
 

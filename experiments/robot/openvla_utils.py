@@ -285,9 +285,6 @@ def get_vla_action(
     for im in all_images:
         check_image_format(im)
 
-    pixels = prepare_images_for_policy(
-        all_images, vla.cfg, center_crop=getattr(cfg, "center_crop", True))
-
     # Inject separately-loaded modules (reference passes them into
     # predict_action; our policy holds one param tree).
     if action_head is not None:
@@ -296,6 +293,25 @@ def get_vla_action(
         vla.params["proprio_projector"] = proprio_projector
     if noisy_action_projector is not None:
         vla.params["noisy_action_projector"] = noisy_action_projector
+
+    if getattr(cfg, "device_preprocess", False) and vla.head == "l1":
+        # Latency path: the whole chunk (resize/crop/normalize -> prefill ->
+        # head -> unnorm + proprio normalization) runs as ONE compiled
+        # program (policy.serve_action_chunk). Skips the host JPEG round
+        # trip — use the default staged path when bit-parity with the
+        # reference eval conditioning matters more than latency.
+        frames = np.stack([np.asarray(im, np.uint8) for im in all_images])
+        actions = vla.predict_action_from_frames(
+            frames, task_label,
+            proprio=np.asarray(obs["state"], np.float32)
+            if getattr(cfg, "use_proprio", False) else None,
+            unnorm_key=getattr(cfg, "unnorm_key", None),
+            center_crop=getattr(cfg, "center_crop", True))
+        n = min(len(actions), getattr(cfg, "num_open_loop_steps", len(actions)))
+        return [actions[i] for i in range(n)]
+
+    pixels = prepare_images_for_policy(
+        all_images, vla.cfg, center_crop=getattr(cfg, "center_crop", True))
 
     proprio = None
     if getattr(cfg, "use_proprio", False):

@@ -78,8 +78,14 @@ def normalize(x: np.ndarray, metadata: Dict,
     bounds map [low, high] -> [-1, 1] with clipping; masked dims pass through;
     degenerate dims (min == max) map to 0."""
     x = np.asarray(x, np.float32)
-    mask = np.asarray(metadata.get("mask",
-                                   np.ones_like(metadata["min"], dtype=bool)))
+    if "mask" in metadata:
+        mask = np.asarray(metadata["mask"])
+    else:
+        # default mask sized off whichever bounds the stats carry (partial
+        # stats, e.g. proprio dicts with only q01/q99, are legal)
+        any_key = next(k for k in ("min", "q01", "mean") if k in metadata)
+        mask = np.ones_like(np.asarray(any_key and metadata[any_key]),
+                            dtype=bool)
     if norm_type == NormalizationType.NORMAL:
         mean = np.asarray(metadata["mean"], np.float32)
         std = np.asarray(metadata["std"], np.float32)
@@ -93,7 +99,10 @@ def normalize(x: np.ndarray, metadata: Dict,
     else:
         raise ValueError(f"Unknown normalization type {norm_type}")
     out = np.where(mask, np.clip(2 * (x - low) / (high - low + 1e-8) - 1, -1, 1), x)
-    zeros = np.asarray(metadata["min"]) == np.asarray(metadata["max"])
+    if "min" in metadata and "max" in metadata:
+        zeros = np.asarray(metadata["min"]) == np.asarray(metadata["max"])
+    else:  # partial stats: degenerate dims judged by the active bounds
+        zeros = low == high
     return np.where(zeros, 0.0, out)
 
 

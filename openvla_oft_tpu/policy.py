@@ -289,6 +289,60 @@ class OpenVLAPolicy:
         stats = self._action_stats(unnorm_key)
         return unnormalize_actions(normalized, stats, self.platform.norm_type)
 
+    def predict_action_from_frames(self, frames_u8: np.ndarray,
+                                   instruction: str,
+                                   proprio: Optional[np.ndarray] = None,
+                                   unnorm_key: Optional[str] = None,
+                                   center_crop: bool = True) -> np.ndarray:
+        """One-jit serving path (L1 head): RAW uint8 camera frames
+        (N, H, W, 3) -> unnormalized action chunk, with preprocessing,
+        proprio normalization, and un-normalization all inside the compiled
+        program (`serve_action_chunk`). The staged `predict_action` remains
+        the parity path (host JPEG round trip + per-stage goldens); this is
+        the latency path (bench.py entry).
+        """
+        assert self.head == "l1", \
+            "fused serving path covers the L1 head; use predict_action for " \
+            f"head={self.head!r}"
+        stats = self._action_stats(unnorm_key)
+        from openvla_oft_tpu.constants import NormalizationType
+
+        if self.platform.norm_type == NormalizationType.BOUNDS_Q99:
+            low, high = stats["q01"], stats["q99"]
+        else:
+            low, high = stats["min"], stats["max"]
+        mask = stats.get("mask", [True] * len(np.asarray(low)))
+        p_stats = None
+        if proprio is not None and self.norm_stats is not None:
+            key = unnorm_key or next(iter(self.norm_stats))
+            p_stats = self.norm_stats[key].get("proprio")
+
+        ids, m = prepare_prompt_ids(self.tokenizer, instruction,
+                                    self.prompt_bucket)
+        if not hasattr(self, "_serve_jit"):
+            import functools
+
+            self._serve_jit = jax.jit(functools.partial(
+                serve_action_chunk, cfg=self.cfg, platform=self.platform,
+                use_flash=self.use_flash,
+                resize_size=self.cfg.vision_configs[0].image_size),
+                static_argnames=("center_crop",))
+        actions = self._serve_jit(
+            self.params,
+            frames_u8=jnp.asarray(frames_u8, jnp.uint8)[None],
+            input_ids=jnp.asarray(ids)[None], prompt_mask=jnp.asarray(m)[None],
+            proprio=None if proprio is None else
+            jnp.asarray(proprio, jnp.float32)[None],
+            action_low=jnp.asarray(low, jnp.float32),
+            action_high=jnp.asarray(high, jnp.float32),
+            action_mask=jnp.asarray(mask, bool),
+            proprio_low=None if p_stats is None else
+            jnp.asarray(p_stats["q01" if "q01" in p_stats else "min"], jnp.float32),
+            proprio_high=None if p_stats is None else
+            jnp.asarray(p_stats["q99" if "q99" in p_stats else "max"], jnp.float32),
+            center_crop=center_crop)
+        return np.asarray(actions)[0]
+
     def _action_stats(self, unnorm_key: Optional[str]) -> dict:
         assert self.norm_stats, "no dataset statistics loaded"
         if unnorm_key is None:

@@ -256,3 +256,42 @@ def test_libero_replay_episode_bookkeeping():
                          dummy_action=[0] * 7,
                          quat2axisangle=lambda q: np.zeros(3))
     assert rec is None                       # unsuccessful replays dropped
+
+
+def test_get_vla_action_device_preprocess_path(rng):
+    """cfg.device_preprocess=True routes get_vla_action through the one-jit
+    serving program and still honors num_open_loop_steps slicing."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.config import (
+        OpenVLAConfig, TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP)
+    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.policy import OpenVLAPolicy, init_openvla_params
+    from experiments.robot.openvla_utils import get_vla_action
+
+    C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+    C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
+    cfg_m = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                          llm_backbone_id="tiny-llama")
+    params = init_openvla_params(jax.random.PRNGKey(0), cfg_m, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    d = LIBERO.action_dim
+    stats = {"k": {"action": {"q01": [-1.0] * d, "q99": [1.0] * d,
+                              "min": [-1.0] * d, "max": [1.0] * d},
+                   "proprio": {"q01": [-1.0] * LIBERO.proprio_dim,
+                               "q99": [1.0] * LIBERO.proprio_dim}}}
+    vla = OpenVLAPolicy(cfg=cfg_m, platform=LIBERO, params=params,
+                        norm_stats=stats, head="l1", prompt_bucket=16)
+    size = TINY_DINOV2.image_size
+    obs = {"full_image": (rng.random((size, size, 3)) * 255).astype(np.uint8),
+           "state": rng.random(LIBERO.proprio_dim).astype(np.float32)}
+    cfg = types.SimpleNamespace(num_images_in_input=1, center_crop=True,
+                                use_proprio=True, unnorm_key="k",
+                                num_open_loop_steps=3, device_preprocess=True)
+    acts = get_vla_action(cfg, vla, None, obs, "press the button")
+    assert len(acts) == 3 and all(a.shape == (d,) for a in acts)
+    assert all(np.isfinite(a).all() for a in acts)

@@ -81,3 +81,35 @@ def test_serve_action_chunk_matches_staged_pipeline(rng):
     np.testing.assert_allclose(fused, staged, rtol=1e-5, atol=1e-5)
     # the masked dim passes through un-unnormalized
     np.testing.assert_allclose(fused[..., -1], norm[..., -1], atol=1e-6)
+
+
+def test_predict_action_from_frames_policy_api(rng):
+    """OpenVLAPolicy.predict_action_from_frames drives serve_action_chunk
+    with stats pulled from norm_stats (bounds for LIBERO-like q99 platforms
+    come from q01/q99)."""
+    from openvla_oft_tpu.policy import OpenVLAPolicy
+
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    size = TINY_DINOV2.image_size
+    frames = (rng.random((1, size + 8, size + 8, 3)) * 255).astype(np.uint8)
+    proprio = rng.random(LIBERO.proprio_dim).astype(np.float32)
+    d = LIBERO.action_dim
+    stats = {"libero_spatial": {
+        "action": {"q01": [-0.8] * d, "q99": [0.8] * d,
+                   "min": [-1.0] * d, "max": [1.0] * d,
+                   "mask": [True] * (d - 1) + [False]},
+        "proprio": {"q01": [-1.0] * LIBERO.proprio_dim,
+                    "q99": [1.0] * LIBERO.proprio_dim},
+    }}
+    pol = OpenVLAPolicy(cfg=CFG, platform=LIBERO, params=params,
+                        norm_stats=stats, head="l1", prompt_bucket=16)
+    a = pol.predict_action_from_frames(frames, "wipe the table",
+                                       proprio=proprio,
+                                       unnorm_key="libero_spatial")
+    assert a.shape == (LIBERO.num_actions_chunk, LIBERO.action_dim)
+    assert np.isfinite(a).all()
+    # last dim is masked out of unnormalization -> stays in [-1, 1]-ish raw
+    # range; unmasked dims live inside the q01/q99 bounds by construction
+    q01, q99 = -0.8, 0.8
+    assert a[..., :-1].min() >= q01 - 1e-5 and a[..., :-1].max() <= q99 + 1e-5

@@ -32,6 +32,9 @@ class DeployConfig:
     use_proprio: bool = True
 
     center_crop: bool = True
+    # Run preprocessing+unnorm inside the compiled serving program
+    # (policy.serve_action_chunk; L1 head only, skips host JPEG)
+    device_preprocess: bool = False
     num_open_loop_steps: int = 25
 
     unnorm_key: Union[str, Path] = ""
