@@ -120,6 +120,24 @@ def _patch_block(
     return proj
 
 
+def _film_language_embedding(params: Params, input_ids: jnp.ndarray,
+                             prompt_mask: jnp.ndarray, dtype) -> jnp.ndarray:
+    """FiLM conditioning vector for the serving paths: masked mean of the
+    prompt token embeddings + one STOP embedding (the reference averages
+    BOS+prompt+STOP at batch-1 inference, film_vit_wrapper.py:241-242).
+    Shared by predict_action_hidden / compute_patch_features /
+    build_diffusion_prefix so the three paths cannot drift."""
+    b = input_ids.shape[0]
+    prompt_mask = prompt_mask.astype(bool)
+    text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
+    text_embeds = text_embeds * prompt_mask[..., None]
+    stop_embed = embed_tokens(
+        params["llm"], jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
+    cat = jnp.concatenate([text_embeds, stop_embed], axis=1)
+    valid = jnp.concatenate([prompt_mask, jnp.ones((b, 1), bool)], axis=1)
+    return _masked_mean_language_embedding(cat, valid)
+
+
 def _masked_mean_language_embedding(text_embeds: jnp.ndarray,
                                     valid: jnp.ndarray) -> jnp.ndarray:
     """Mean of valid (non-action, non-pad) text embeddings for FiLM
@@ -305,19 +323,8 @@ def compute_patch_features(
     predict_action_hidden's FiLM language conditioning; proprio/diffusion-t
     tokens are appended per call via `precomputed_patches`."""
     dtype = params["llm"]["embed"]["embedding"].dtype
-    prompt_mask = prompt_mask.astype(bool)
-    lang_embedding = None
-    if cfg.use_film:
-        b = input_ids.shape[0]
-        text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
-        text_embeds = text_embeds * prompt_mask[..., None]
-        stop_embed = embed_tokens(
-            params["llm"],
-            jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
-        cat = jnp.concatenate([text_embeds, stop_embed], axis=1)
-        valid = jnp.concatenate(
-            [prompt_mask, jnp.ones((b, 1), bool)], axis=1)
-        lang_embedding = _masked_mean_language_embedding(cat, valid)
+    lang_embedding = _film_language_embedding(params, input_ids, prompt_mask,
+                                              dtype) if cfg.use_film else None
     return _patch_block(params, cfg, pixels, lang_embedding, None, None,
                         dtype)
 
@@ -352,15 +359,8 @@ def predict_action_hidden(
     text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
     text_embeds = text_embeds * prompt_mask[..., None]
 
-    lang_embedding = None
-    if cfg.use_film:
-        # Reference averages BOS+prompt+STOP embeddings (batch-1, no pads).
-        stop_embed = embed_tokens(
-            params["llm"], jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
-        cat = jnp.concatenate([text_embeds, stop_embed], axis=1)
-        valid = jnp.concatenate([prompt_mask, jnp.ones((b, 1), bool)], axis=1)
-        lang_embedding = _masked_mean_language_embedding(cat, valid)
-
+    lang_embedding = _film_language_embedding(params, input_ids, prompt_mask,
+                                              dtype) if cfg.use_film else None
     patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
                                 diffusion_t_emb, dtype,
                                 precomputed_patches=precomputed_patches)
@@ -455,15 +455,8 @@ def build_diffusion_prefix(
     text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
     text_embeds = text_embeds * prompt_mask[..., None]
 
-    lang_embedding = None
-    if cfg.use_film:
-        stop_for_lang = embed_tokens(
-            params["llm"],
-            jnp.full((b, 1), STOP_INDEX, input_ids.dtype)).astype(dtype)
-        cat = jnp.concatenate([text_embeds, stop_for_lang], axis=1)
-        valid = jnp.concatenate([prompt_mask, jnp.ones((b, 1), bool)], axis=1)
-        lang_embedding = _masked_mean_language_embedding(cat, valid)
-
+    lang_embedding = _film_language_embedding(params, input_ids, prompt_mask,
+                                              dtype) if cfg.use_film else None
     patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
                                 None, dtype)
 

@@ -160,6 +160,47 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, gh * gw, patch * patch * c)
 
 
+def _use_fused_ln_matmul(norm_p: Params, lin_p: Params) -> bool:
+    """Pallas LN+matmul (ops/vit_fused.py) — OPT-IN via OPENVLA_VIT_FUSED=1.
+
+    Measured round 3 (v5e, ViT pair at M=522): the kernel loses to XLA even
+    with the affine fold and tuned blocks (dino 5.3 vs 5.0 ms, siglip 7.1 vs
+    5.7 ms) — XLA's own epilogue scheduling at these shapes beats the
+    hand-pipelined version (docs/PERFORMANCE.md negative results). Kept as a
+    tested variant for larger-M regimes. Requires affine-folded norms
+    (fuse_vit_inference_weights) + plain unquantized kernels + a real TPU."""
+    import os
+
+    if os.environ.get("OPENVLA_VIT_FUSED", "0") != "1":
+        return False
+    if "scale" in norm_p or "kernel_q4" in lin_p:
+        return False
+    k = lin_p.get("kernel")
+    if k is None or k.dtype == jnp.int8 or "lora_a" in lin_p:
+        return False
+    return jax.devices()[0].platform == "tpu"
+
+
+def _ln_linear(norm_p: Params, lin_p: Params, x: jnp.ndarray,
+               act_name: Optional[str] = None) -> jnp.ndarray:
+    """LayerNorm -> linear (-> activation), taking the fused Pallas path when
+    the serving weight layout allows (ops/vit_fused.py), else XLA ops."""
+    if _use_fused_ln_matmul(norm_p, lin_p):
+        from openvla_oft_tpu.ops.vit_fused import ln_matmul
+
+        return ln_matmul(x, lin_p["kernel"], lin_p.get("bias"), act=act_name)
+    y = linear(lin_p, layer_norm(norm_p, x))
+    if act_name is None:
+        return y
+    if act_name == "quick_gelu":
+        return quick_gelu(y)
+    if act_name == "gelu_tanh":
+        from openvla_oft_tpu.ops.layers import gelu_tanh
+
+        return gelu_tanh(y)
+    return gelu(y)
+
+
 def _vit_block(
     p: Params,
     cfg: ViTConfig,
@@ -170,8 +211,7 @@ def _vit_block(
     b, s, d = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
-    xa = layer_norm(p["norm1"], x)
-    qkv = linear(p["attn"]["qkv"], xa).reshape(b, s, 3, nh, hd)
+    qkv = _ln_linear(p["norm1"], p["attn"]["qkv"], x).reshape(b, s, 3, nh, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     o = attention(q, k, v).reshape(b, s, d)
     o = linear(p["attn"]["proj"], o)
@@ -183,16 +223,8 @@ def _vit_block(
         gamma, beta = film[0], film[1]
         x = x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
 
-    xm = layer_norm(p["norm2"], x)
-    if cfg.act == "quick_gelu":
-        act = quick_gelu
-    elif cfg.act == "gelu_tanh":
-        from openvla_oft_tpu.ops.layers import gelu_tanh
-
-        act = gelu_tanh
-    else:
-        act = gelu
-    m = linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], xm)))
+    m = _ln_linear(p["norm2"], p["mlp"]["fc1"], x, act_name=cfg.act)
+    m = linear(p["mlp"]["fc2"], m)
     if "ls2" in p:
         m = m * p["ls2"]["scale_factor"]
     return x + m

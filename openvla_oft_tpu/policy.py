@@ -95,6 +95,15 @@ def init_openvla_params(
     return params
 
 
+def _first_key(stats: dict, *keys):
+    """First present key's value — partial stats dicts (e.g. proprio with
+    only q01/q99) are legal in dataset_statistics.json."""
+    for k in keys:
+        if k in stats:
+            return stats[k]
+    raise KeyError(f"none of {keys} in stats {list(stats)}")
+
+
 def serve_action_chunk(
     params: Params,
     cfg: OpenVLAConfig,
@@ -108,6 +117,7 @@ def serve_action_chunk(
     action_mask: jnp.ndarray,      # (action_dim,) bool unnorm mask
     proprio_low: Optional[jnp.ndarray] = None,
     proprio_high: Optional[jnp.ndarray] = None,
+    proprio_mask: Optional[jnp.ndarray] = None,
     use_flash="auto",
     center_crop: bool = True,
     resize_size: int = 224,
@@ -123,7 +133,6 @@ def serve_action_chunk(
     except the host JPEG round trip — the A100 baseline runs the image
     conditioning on CPU; here it rides the same XLA program as the model.
     """
-    from openvla_oft_tpu.models.action_heads import l1_head_predict
     from openvla_oft_tpu.processing.image_processing import device_preprocess
 
     b, n = frames_u8.shape[:2]
@@ -133,10 +142,16 @@ def serve_action_chunk(
     pixels = pixels.reshape((b, n) + pixels.shape[1:])
 
     if proprio is not None and proprio_low is not None:
-        # Reference `normalize_proprio` (openvla_utils.py:645-675): clip to
-        # bounds then scale to [-1, 1].
-        p = jnp.clip(proprio, proprio_low, proprio_high)
-        proprio = 2.0 * (p - proprio_low) / (proprio_high - proprio_low + 1e-8) - 1.0
+        # Reference `normalize_proprio` (openvla_utils.py:645-675) with the
+        # repo's staged-path semantics (data/transforms.normalize): masked
+        # dims pass through, degenerate dims (low == high) map to 0.
+        scaled = jnp.clip(
+            2.0 * (proprio - proprio_low)
+            / (proprio_high - proprio_low + 1e-8) - 1.0, -1.0, 1.0)
+        pmask = proprio_mask if proprio_mask is not None else \
+            jnp.ones_like(proprio_low, bool)
+        out = jnp.where(pmask, scaled, jnp.clip(proprio, -1.0, 1.0))
+        proprio = jnp.where(proprio_low == proprio_high, 0.0, out)
 
     out = predict_action_hidden(params, cfg, platform, input_ids=input_ids,
                                 prompt_mask=prompt_mask, pixels=pixels,
@@ -307,10 +322,9 @@ class OpenVLAPolicy:
         stats = self._action_stats(unnorm_key)
         from openvla_oft_tpu.constants import NormalizationType
 
-        if self.platform.norm_type == NormalizationType.BOUNDS_Q99:
-            low, high = stats["q01"], stats["q99"]
-        else:
-            low, high = stats["min"], stats["max"]
+        q99 = self.platform.norm_type == NormalizationType.BOUNDS_Q99
+        lo_k, hi_k = ("q01", "q99") if q99 else ("min", "max")
+        low, high = stats[lo_k], stats[hi_k]
         mask = stats.get("mask", [True] * len(np.asarray(low)))
         p_stats = None
         if proprio is not None and self.norm_stats is not None:
@@ -320,8 +334,6 @@ class OpenVLAPolicy:
         ids, m = prepare_prompt_ids(self.tokenizer, instruction,
                                     self.prompt_bucket)
         if not hasattr(self, "_serve_jit"):
-            import functools
-
             self._serve_jit = jax.jit(functools.partial(
                 serve_action_chunk, cfg=self.cfg, platform=self.platform,
                 use_flash=self.use_flash,
@@ -337,9 +349,11 @@ class OpenVLAPolicy:
             action_high=jnp.asarray(high, jnp.float32),
             action_mask=jnp.asarray(mask, bool),
             proprio_low=None if p_stats is None else
-            jnp.asarray(p_stats["q01" if "q01" in p_stats else "min"], jnp.float32),
+            jnp.asarray(_first_key(p_stats, lo_k, "q01", "min"), jnp.float32),
             proprio_high=None if p_stats is None else
-            jnp.asarray(p_stats["q99" if "q99" in p_stats else "max"], jnp.float32),
+            jnp.asarray(_first_key(p_stats, hi_k, "q99", "max"), jnp.float32),
+            proprio_mask=None if p_stats is None or "mask" not in p_stats else
+            jnp.asarray(p_stats["mask"], bool),
             center_crop=center_crop)
         return np.asarray(actions)[0]
 

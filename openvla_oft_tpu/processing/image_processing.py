@@ -153,12 +153,7 @@ def make_device_transform(cfg: OpenVLAConfig):
                 top = int(round((nh - size) / 2.0))
                 left = int(round((nw - size) / 2.0))
                 x = x[:, top:top + size, left:left + size, :]
-        outs = []
-        for v in vcfgs:
-            mean = jnp.asarray(v.mean, jnp.float32)
-            std = jnp.asarray(v.std, jnp.float32)
-            outs.append((x - mean) / std)
-        return jnp.stack(outs, axis=1)  # (N, n_backbones, H, W, 3)
+        return normalize_and_stack(cfg, x)  # (N, n_backbones, H, W, 3)
 
     return transform
 

@@ -84,7 +84,7 @@ class SPModel:
     pieces: List[str]
     scores: List[float]
     types: List[int]
-    model_type: int = 2          # TrainerSpec.ModelType: UNIGRAM=1, BPE=2
+    model_type: int = 1          # TrainerSpec.ModelType [default=UNIGRAM]
     byte_fallback: bool = True
     add_dummy_prefix: bool = True
     unk_id: int = 0
@@ -97,7 +97,10 @@ def parse_model_proto(data: bytes) -> SPModel:
     pieces: List[str] = []
     scores: List[float] = []
     types: List[int] = []
-    model_type, byte_fallback, add_dummy_prefix = 2, False, True
+    # proto2 defaults: model_type UNIGRAM(1) — an omitted field means unigram
+    # (Llama's BPE models serialize model_type: BPE explicitly since it is
+    # non-default); byte_fallback false; add_dummy_prefix true.
+    model_type, byte_fallback, add_dummy_prefix = 1, False, True
     for field, wire, val in _iter_fields(data):
         if field == 1 and wire == 2:  # SentencePiece
             piece, score, ptype = "", 0.0, NORMAL
@@ -278,7 +281,8 @@ class SentencePieceTokenizer:
                     continue
                 sub = norm[start:end]
                 idx = self.vocab.get(sub)
-                if idx is not None and self.model.types[idx] == NORMAL:
+                # self.vocab already restricts to NORMAL/USER_DEFINED pieces
+                if idx is not None:
                     sc = best[start][0] + self.model.scores[idx]
                     if sc > best[end][0]:
                         best[end] = (sc, start, idx)

@@ -100,8 +100,13 @@ def main():
         os.environ.pop("OPENVLA_FLASH_BLOCK_Q", None)
 
     if not args.skip_full:
+        import gc
         import os
 
+        # entry() builds its own param tree — free this one first or the two
+        # 13.5 GB copies cannot coexist in HBM.
+        del params, embeds, feats
+        gc.collect()
         if args.quant:
             os.environ["OPENVLA_QUANT"] = args.quant
         fn, eargs = entry()
