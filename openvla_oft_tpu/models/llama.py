@@ -78,26 +78,42 @@ def fuse_inference_weights(llm_params: Params) -> Params:
     Serving-path optimization for the OFT single-prefill flow: one matmul
     feeds the MXU a (d, (h+2kv)*hd) tile instead of three smaller ones, and —
     decisive for int8 — the activation is quantized and dequantized ONCE per
-    projection group. Apply AFTER any LoRA merge (LoRA factors address the
-    unfused names); the KV-cache AR path keeps unfused weights.
+    projection group. The RMSNorm learned scales additionally fold into the
+    fused kernels ((standardize(x)*g) @ W = standardize(x) @ (diag(g) W),
+    numerics-exact up to fp reassociation) — each fold deletes one full VPU
+    pass over the (S, d) activations per layer; `ops.layers.rms_norm` keeps
+    only the standardization when the scale is absent. Apply AFTER any LoRA
+    merge (LoRA factors address the unfused names); the KV-cache AR path
+    keeps unfused weights.
     """
     layers = llm_params["layers"]
     attn, mlp = layers["attn"], layers["mlp"]
     if any("lora" in key for sub in (attn, mlp)
            for leaf in sub.values() for key in leaf):
         raise ValueError("fuse_inference_weights after LoRA merge, not before")
-    new_attn = dict(attn)
+    f32 = jnp.float32
+
+    def fold(norm, kernel):
+        g = norm["scale"].astype(f32)[..., None]           # (L, d, 1)
+        return (kernel.astype(f32) * g).astype(kernel.dtype)
+
+    new_attn, new_mlp = dict(attn), dict(mlp)
+    attn_norm, mlp_norm = layers["attn_norm"], layers["mlp_norm"]
     if "wq" in attn and "bias" not in attn["wq"]:
-        new_attn = {"wqkv": {"kernel": jnp.concatenate(
-            [attn["wq"]["kernel"], attn["wk"]["kernel"],
-             attn["wv"]["kernel"]], axis=-1)}, "wo": attn["wo"]}
-    new_mlp = dict(mlp)
+        wqkv = jnp.concatenate([attn["wq"]["kernel"], attn["wk"]["kernel"],
+                                attn["wv"]["kernel"]], axis=-1)
+        new_attn = {"wqkv": {"kernel": fold(attn_norm, wqkv)},
+                    "wo": attn["wo"]}
+        attn_norm = {}
     if "gate" in mlp and "bias" not in mlp["gate"]:
-        new_mlp = {"gate_up": {"kernel": jnp.concatenate(
-            [mlp["gate"]["kernel"], mlp["up"]["kernel"]], axis=-1)},
-            "down": mlp["down"]}
+        gate_up = jnp.concatenate([mlp["gate"]["kernel"],
+                                   mlp["up"]["kernel"]], axis=-1)
+        new_mlp = {"gate_up": {"kernel": fold(mlp_norm, gate_up)},
+                   "down": mlp["down"]}
+        mlp_norm = {}
     return {**llm_params,
-            "layers": {**layers, "attn": new_attn, "mlp": new_mlp}}
+            "layers": {**layers, "attn": new_attn, "mlp": new_mlp,
+                       "attn_norm": attn_norm, "mlp_norm": mlp_norm}}
 
 
 # === Forward ===
@@ -169,6 +185,7 @@ def llama_model(
     remat: bool = False,
     attn_mask: Optional[jnp.ndarray] = None,
     unroll: int = 1,
+    out_window: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Run the decoder stack; returns post-final-norm hidden states (B, S, D).
 
@@ -177,6 +194,14 @@ def llama_model(
       of a materialized (S, S) mask when batch padding is absent.
     attn_mask: fully explicit (B, 1|H, S, S) boolean mask; overrides the
       mask construction below (used by the inference logical-position layout).
+    out_window: static (start, len) — when set, only rows
+      [start, start+len) of the FINAL layer (and final norm) are computed and
+      returned, (B, len, D). The OFT parallel-decode serving path reads only
+      the action-slot hidden states (modeling_prismatic.py:916 slices
+      hidden_states[-1] the same way), but every earlier layer still needs all
+      rows as attention KEYS — so the saving is exactly the last layer's
+      Q-side + MLP over the unread rows (~200 GFLOP ≈ 1 ms at LIBERO
+      geometry). Numerics-identical to slicing the full output.
     """
     b, s, _ = inputs_embeds.shape
     if positions is None:
@@ -219,8 +244,82 @@ def llama_model(
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, x, params["layers"], unroll=unroll)
-    return rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+
+    if out_window is None:
+        x, _ = jax.lax.scan(body, x, params["layers"], unroll=unroll)
+        return rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+
+    # Sliced final layer: scan layers [0, L-1), then run layer L-1 with
+    # Q/MLP restricted to the output window (keys/values still full-width).
+    # The head layers are indexed INSIDE the scan body — a host-side
+    # `tree_map(lambda a: a[:L-1])` pre-slice compiles to a near-full copy of
+    # the stacked weights (measured: +10 GB HBM at 7B, an instant OOM).
+    w0, wl = out_window
+    L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+
+    def body_by_index(carry, i):
+        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+        return body(carry, lp)
+
+    x, _ = jax.lax.scan(body_by_index, x, jnp.arange(L - 1), unroll=unroll)
+    last = jax.tree_util.tree_map(lambda a: a[L - 1], params["layers"])
+
+    # Dense mask rows for the window (exact same semantics as the full mask +
+    # is_causal; the flash kernel is never worth it for <=chunk-width query
+    # counts, so the sliced layer always takes the XLA path).
+    if mask is not None and mask.shape[2] == s and not is_causal:
+        # Full (B, 1|H, S, S) mask already encodes everything — take its rows.
+        win_mask = jax.lax.dynamic_slice_in_dim(mask, w0, wl, axis=2)
+    else:
+        # Causal branches (flash 1-D vectors / padding-only / no mask):
+        # rebuild the window rows exactly.
+        kv_full = key_valid if key_valid is not None else padding_mask
+        kv_full = jnp.ones((b, s), bool) if kv_full is None \
+            else kv_full.astype(bool)
+        if bidir_1d is None and bidir_block is not None:
+            bw0, bwl = bidir_block
+            bidir_1d = jnp.zeros((b, s), bool).at[:, bw0:bw0 + bwl].set(True)
+        rows = w0 + jnp.arange(wl)
+        allow = kv_full[:, None, :] & (
+            jnp.arange(s)[None, None, :] <= rows[None, :, None])
+        if bidir_1d is not None:
+            allow = allow | (bidir_1d[:, rows][:, :, None]
+                             & bidir_1d[:, None, :] & kv_full[:, None, :])
+        win_mask = allow[:, None]
+
+    h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    xa = rms_norm(last["attn_norm"], x, cfg.rms_norm_eps)
+    xa_w = jax.lax.dynamic_slice_in_dim(xa, w0, wl, axis=1)
+    x_w = jax.lax.dynamic_slice_in_dim(x, w0, wl, axis=1)
+    if "wqkv" in last["attn"]:
+        # Column-slice the fused projection into q|k|v param dicts so the
+        # quantized formats keep their per-output-channel scales (`linear`
+        # dispatches on dict contents — a raw kernel matmul would silently
+        # drop int8/int4 scale_w and corrupt the quantized serving path).
+        def col_slice(p, lo, hi):
+            # Every per-linear leaf carries `out` as its LAST axis: kernel
+            # (in, out), scale_w (out,), scale_w4 (in/group, out), bias (out,).
+            return {name: leaf[..., lo:hi] for name, leaf in p.items()}
+
+        wqkv = last["attn"]["wqkv"]
+        q = linear(col_slice(wqkv, 0, h * hd), xa_w).reshape(b, wl, h, hd)
+        k = linear(col_slice(wqkv, h * hd, (h + kv) * hd), xa
+                   ).reshape(b, s, kv, hd)
+        v = linear(col_slice(wqkv, (h + kv) * hd, (h + 2 * kv) * hd), xa
+                   ).reshape(b, s, kv, hd)
+    else:
+        q = linear(last["attn"]["wq"], xa_w).reshape(b, wl, h, hd)
+        k = linear(last["attn"]["wk"], xa).reshape(b, s, kv, hd)
+        v = linear(last["attn"]["wv"], xa).reshape(b, s, kv, hd)
+    sin_w = jax.lax.dynamic_slice_in_dim(sin, w0, wl, axis=1)
+    cos_w = jax.lax.dynamic_slice_in_dim(cos, w0, wl, axis=1)
+    q = apply_rope(q, sin_w, cos_w)
+    k = apply_rope(k, sin, cos)
+    o = attention(q, k, v, mask=win_mask)
+    x_w = x_w + linear(last["attn"]["wo"], o.reshape(b, wl, h * hd))
+    xm = rms_norm(last["mlp_norm"], x_w, cfg.rms_norm_eps)
+    x_w = x_w + _mlp(last["mlp"], xm)
+    return rms_norm(params["final_norm"], x_w, cfg.rms_norm_eps)
 
 
 def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -32,6 +32,7 @@ are a static slice.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -90,6 +91,7 @@ def _patch_block(
     diffusion_t_emb: Optional[jnp.ndarray],
     dtype,
     precomputed_patches: Optional[jnp.ndarray] = None,
+    vit_unroll: Any = 1,
 ) -> jnp.ndarray:
     """Vision features -> projector (+proprio token)(+diffusion-t token).
 
@@ -100,13 +102,17 @@ def _patch_block(
     modeling_prismatic.py:810 — pass the hoisted block so the scan doesn't
     depend on XLA loop-invariant code motion to avoid 50x the vision cost).
     """
+    env = os.environ.get("OPENVLA_VIT_UNROLL")
+    if env:
+        vit_unroll = int(env) if env.isdigit() else env
     if precomputed_patches is not None:
         proj = precomputed_patches.astype(dtype)
     else:
         film = params.get("film") if cfg.use_film else None
         feats = vision_backbone_forward(
             params["vision_backbone"], cfg, pixels,
-            film_params=film, language_embedding=language_embedding)
+            film_params=film, language_embedding=language_embedding,
+            unroll=vit_unroll)
         proj = vision_projector(params["projector"], feats).astype(dtype)
     extra = []
     if proprio is not None:
@@ -326,7 +332,7 @@ def compute_patch_features(
     lang_embedding = _film_language_embedding(params, input_ids, prompt_mask,
                                               dtype) if cfg.use_film else None
     return _patch_block(params, cfg, pixels, lang_embedding, None, None,
-                        dtype)
+                        dtype, vit_unroll="full")
 
 
 def predict_action_hidden(
@@ -363,7 +369,8 @@ def predict_action_hidden(
                                               dtype) if cfg.use_film else None
     patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
                                 diffusion_t_emb, dtype,
-                                precomputed_patches=precomputed_patches)
+                                precomputed_patches=precomputed_patches,
+                                vit_unroll="full")
     n_patch = patch_embeds.shape[1]
 
     if noisy_actions is not None:
@@ -391,14 +398,25 @@ def predict_action_hidden(
 
         use_flash = s >= FLASH_SEQ_THRESHOLD
     bidir = jnp.zeros((b, s), bool).at[:, window[0]:window[0] + chunk + 1].set(True)
-    hidden = _run_llm(params["llm"], cfg.llm, embeds, positions=positions,
-                      padding_mask=key_valid, bidir_mask=bidir,
-                      use_flash=use_flash, bidir_block=window)
-
     # Predictor positions: last prompt token (29871) through the second-to-last
-    # action slot — a static tail slice.
+    # action slot — a static tail slice. Llama-family computes ONLY these rows
+    # in its final layer (`out_window`, models/llama.py) — every other row's
+    # last-layer output is unread.
     start = p_len + n_patch - 1
-    actions_hidden = jax.lax.dynamic_slice_in_dim(hidden, start, chunk, axis=1)
+    from openvla_oft_tpu.config import PhiConfig
+
+    if isinstance(cfg.llm, PhiConfig):
+        hidden = _run_llm(params["llm"], cfg.llm, embeds, positions=positions,
+                          padding_mask=key_valid, bidir_mask=bidir,
+                          use_flash=use_flash, bidir_block=window)
+        actions_hidden = jax.lax.dynamic_slice_in_dim(hidden, start, chunk,
+                                                      axis=1)
+    else:
+        actions_hidden = _run_llm(params["llm"], cfg.llm, embeds,
+                                  positions=positions, padding_mask=key_valid,
+                                  bidir_mask=bidir, use_flash=use_flash,
+                                  bidir_block=window,
+                                  out_window=(start, chunk))
 
     action_logits = None
     if compute_logits:
@@ -458,7 +476,7 @@ def build_diffusion_prefix(
     lang_embedding = _film_language_embedding(params, input_ids, prompt_mask,
                                               dtype) if cfg.use_film else None
     patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
-                                None, dtype)
+                                None, dtype, vit_unroll="full")
 
     # BOS sits at physical index pad_counts in the left-padded prompt.
     bos = jnp.take_along_axis(text_embeds, pad_counts[:, None, None], axis=1)
@@ -571,7 +589,8 @@ def predict_action_autoregressive(
 
     text_embeds = embed_tokens(params["llm"], input_ids).astype(dtype)
     text_embeds = text_embeds * prompt_mask[..., None]
-    patch_embeds = _patch_block(params, cfg, pixels, None, None, None, dtype)
+    patch_embeds = _patch_block(params, cfg, pixels, None, None, None, dtype,
+                                vit_unroll="full")
     n_patch = patch_embeds.shape[1]
 
     embeds, positions, key_valid, pad_counts = _left_padded_layout(

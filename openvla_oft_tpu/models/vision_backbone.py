@@ -61,11 +61,33 @@ def vision_backbone_forward(
     pixels: jnp.ndarray,
     film_params: Optional[Params] = None,
     language_embedding: Optional[jnp.ndarray] = None,
+    unroll: Any = 1,
 ) -> jnp.ndarray:
-    """pixels: (B, N, n_backbones, H, W, 3) normalized -> (B, N*256, vision_dim)."""
+    """pixels: (B, N, n_backbones, H, W, 3) normalized -> (B, N*256, vision_dim).
+
+    unroll: `lax.scan` unroll over blocks; "full" = fully unrolled. Measured on
+    v5e (vla_scripts/exp_vit_ablation.py): the scanned stacked-layer form costs
+    ~55% extra latency at serving shapes (dino 4.9 -> 3.3 ms, siglip 5.3 ->
+    3.3 ms fully unrolled — partial unroll is WORSE than either). Inference
+    paths pass "full"; training keeps the scan (compile time, remat shape).
+    """
     b, n, nb, h, w, _ = pixels.shape
     names = _featurizer_names(cfg)
     assert nb == len(names), f"expected {len(names)} backbone channel groups, got {nb}"
+
+    if "joint" in params and film_params is None and len(names) == 2:
+        # Serving layout: both backbones as ONE G=2 batched-GEMM program
+        # (models/vit_joint.py) — built at load by `build_joint_vit_pair`
+        # from the folded per-backbone weights.
+        from openvla_oft_tpu.models.vit_joint import vit_pair_featurize_joint
+
+        imgs = [pixels[:, :, i].reshape(b * n, h, w, 3)
+                for i in range(len(names))]
+        outs = vit_pair_featurize_joint(params["joint"], cfg.vision_configs,
+                                        imgs)
+        return jnp.concatenate(
+            [f.reshape(b, n * vcfg.num_patches, vcfg.width)
+             for f, vcfg in zip(outs, cfg.vision_configs)], axis=-1)
 
     feats = []
     for i, (name, vcfg) in enumerate(zip(names, cfg.vision_configs)):
@@ -75,8 +97,9 @@ def vision_backbone_forward(
         if film_params is not None and language_embedding is not None:
             fp = film_params[name]
             le = jnp.repeat(language_embedding, n, axis=0)  # (B*N, llm_dim)
+        u = vcfg.depth - 1 if unroll == "full" else unroll
         f = vit_featurize(params[name], vcfg, imgs, film_params=fp,
-                          language_embedding=le)  # (B*N, 256, width)
+                          language_embedding=le, unroll=u)  # (B*N, 256, width)
         feats.append(f.reshape(b, n * vcfg.num_patches, vcfg.width))
     # Concat [primary, fused] on the feature dim per image-patch position.
     if len(feats) == 1:

@@ -55,10 +55,17 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def rms_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """Llama RMSNorm: x * rsqrt(mean(x^2)+eps) * scale, stats in fp32."""
+    """Llama RMSNorm: x * rsqrt(mean(x^2)+eps) * scale, stats in fp32.
+
+    An empty param dict means the learned scale was folded into the following
+    matmul (llama.fuse_inference_weights) — only the data-dependent
+    standardization remains.
+    """
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     normed = xf * jax.lax.rsqrt(var + eps)
+    if "scale" not in p:
+        return normed.astype(x.dtype)
     # HF LlamaRMSNorm casts back to input dtype *before* the scale multiply.
     return normed.astype(x.dtype) * p["scale"].astype(x.dtype)
 
