@@ -230,20 +230,11 @@ def _vit_block(
     return x + m
 
 
-def vit_featurize(
-    params: Params,
-    cfg: ViTConfig,
-    images: jnp.ndarray,
-    film_params: Optional[Params] = None,
-    language_embedding: Optional[jnp.ndarray] = None,
-    unroll: int = 1,
-) -> jnp.ndarray:
-    """(B, H, W, 3) normalized pixels -> (B, num_patches, width) features.
-
-    Returns the *second-to-last* block's patch tokens (prefix stripped, no
-    final norm) — the OpenVLA tap. With `film_params` + `language_embedding`
-    (B, llm_dim), applies FiLM modulation in every block.
-    """
+def vit_frontend(params: Params, cfg: ViTConfig,
+                 images: jnp.ndarray) -> jnp.ndarray:
+    """Patch embed + position embed + prefix tokens (+ optional pre-norm):
+    (B, H, W, 3) normalized pixels -> (B, num_prefix+num_patches, width).
+    Shared by the per-backbone path and the joint-pair path (vit_joint.py)."""
     b = images.shape[0]
     x = linear(params["patch_embed"], patchify(images, cfg.patch_size))
 
@@ -272,6 +263,25 @@ def vit_featurize(
 
     if cfg.use_pre_norm:
         x = layer_norm(params["norm_pre"], x)
+    return x
+
+
+def vit_featurize(
+    params: Params,
+    cfg: ViTConfig,
+    images: jnp.ndarray,
+    film_params: Optional[Params] = None,
+    language_embedding: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
+) -> jnp.ndarray:
+    """(B, H, W, 3) normalized pixels -> (B, num_patches, width) features.
+
+    Returns the *second-to-last* block's patch tokens (prefix stripped, no
+    final norm) — the OpenVLA tap. With `film_params` + `language_embedding`
+    (B, llm_dim), applies FiLM modulation in every block.
+    """
+    b = images.shape[0]
+    x = vit_frontend(params, cfg, images)
 
     # Precompute per-block FiLM (gamma, beta): (L, 2, B, width).
     film_all = None

@@ -1,0 +1,106 @@
+"""Parity for the joint padded ViT-pair program (models/vit_joint.py): the
+G=2 batched execution with width/head_dim/token/depth padding must equal the
+sequential folded per-backbone path. Exercises every padding mechanism on a
+heterogeneous tiny pair: widths 48 vs 32, head_dims 12 vs 8 (softmax-scale
+fold), prefix 5 vs 0 tokens (M padding + key masking), LayerScale vs none,
+gelu vs gelu_tanh, and unequal depths (identity-layer padding)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openvla_oft_tpu.config import TINY_DINOV2, TINY_SIGLIP, OpenVLAConfig
+from openvla_oft_tpu.models.vit import (
+    fuse_vit_inference_weights,
+    init_vit_params,
+    vit_featurize,
+)
+from openvla_oft_tpu.models.vit_joint import (
+    build_joint_vit_pair,
+    vit_pair_featurize_joint,
+)
+
+NAMES = ("featurizer", "fused_featurizer")
+
+
+def _make_pair(cfgs, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+    params = {}
+    for name, cfg, k in zip(NAMES, cfgs, ks):
+        p = init_vit_params(k, cfg, dtype=jnp.float32)
+        # random affines/LayerScale so the folds are non-trivial
+        noise = jax.random.split(k, 8)
+        lay = p["layers"]
+        L, d = cfg.depth, cfg.width
+        lay["norm1"]["scale"] = 1.0 + 0.1 * jax.random.normal(noise[0], (L, d))
+        lay["norm1"]["bias"] = 0.1 * jax.random.normal(noise[1], (L, d))
+        lay["norm2"]["scale"] = 1.0 + 0.1 * jax.random.normal(noise[2], (L, d))
+        lay["norm2"]["bias"] = 0.1 * jax.random.normal(noise[3], (L, d))
+        if "ls1" in lay:
+            lay["ls1"]["scale_factor"] = 0.5 + 0.1 * jax.random.normal(
+                noise[4], (L, d))
+            lay["ls2"]["scale_factor"] = 0.5 + 0.1 * jax.random.normal(
+                noise[5], (L, d))
+        params[name] = fuse_vit_inference_weights(p)
+    return params
+
+
+def _check_pair(cfgs, seed=0):
+    params = _make_pair(cfgs, seed)
+    joint = build_joint_vit_pair(params, cfgs, NAMES)
+    rng = np.random.default_rng(seed)
+    imgs = [jnp.asarray(rng.normal(0, 1, (2, c.image_size, c.image_size, 3)),
+                        jnp.float32) for c in cfgs]
+    want = [vit_featurize(params[name], cfg, im)
+            for name, cfg, im in zip(NAMES, cfgs, imgs)]
+    got = vit_pair_featurize_joint(joint, cfgs, imgs)
+    for w, g in zip(want, got):
+        assert w.shape == g.shape
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_joint_equal_depth_pair():
+    _check_pair((TINY_DINOV2, TINY_SIGLIP))
+
+
+def test_joint_unequal_depth_pair():
+    # Depth 3 vs 5: the shallower backbone gets identity padding layers.
+    cfgs = (TINY_DINOV2, dataclasses.replace(TINY_SIGLIP, depth=5))
+    _check_pair(cfgs, seed=1)
+
+
+def test_joint_rejects_unfolded():
+    cfgs = (TINY_DINOV2, TINY_SIGLIP)
+    raw = {name: init_vit_params(k, cfg, dtype=jnp.float32)
+           for name, cfg, k in zip(
+               NAMES, cfgs, jax.random.split(jax.random.PRNGKey(0), 2))}
+    with pytest.raises(ValueError, match="folded"):
+        build_joint_vit_pair(raw, cfgs, NAMES)
+
+
+def test_joint_through_vision_backbone_forward():
+    """vision_backbone_forward dispatches to the joint program when a
+    'joint' entry is present and produces the same concatenated features as
+    the sequential path."""
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.models.vision_backbone import vision_backbone_forward
+
+    C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+    C._LLM_REGISTRY.setdefault("tiny-llama", C.TINY_LLAMA)
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama", num_images_in_input=2)
+    params = _make_pair(cfg.vision_configs, seed=2)
+    h = TINY_DINOV2.image_size
+    rng = np.random.default_rng(2)
+    pixels = jnp.asarray(rng.normal(0, 1, (1, 2, 2, h, h, 3)), jnp.float32)
+
+    want = vision_backbone_forward(params, cfg, pixels)
+    with_joint = {**params,
+                  "joint": build_joint_vit_pair(params, cfg.vision_configs)}
+    got = vision_backbone_forward(with_joint, cfg, pixels)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                               rtol=2e-5, atol=2e-5)

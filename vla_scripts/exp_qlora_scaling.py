@@ -1,0 +1,152 @@
+"""Round-3 experiment: why does QLoRA train-step MFU drop at batch 2?
+
+Round-2 measurement (docs/PERFORMANCE.md): b=1 167 ms (~50% MFU) but
+b=2 390 ms (~43%) — sub-linear scaling in the configuration that matters
+for real single-chip runs. Suspects to localize:
+  - remat scope: the checkpointed Llama body recomputes the forward in the
+    backward; if XLA spills at b=2 the recompute collides with HBM pressure;
+  - donated-buffer layout: the optimizer update aliasing;
+  - per-token dynamic activation quant (ops/quant.py): linear in b, but its
+    layout (reduce over the last axis) may fuse differently at b=2;
+  - attention backward at S~609.
+
+Measures the jitted `train_step` at b in {1, 2, 4} on the real chip and
+(optionally, --trace) captures an XProf trace per batch size.
+
+Usage: JAX_PLATFORMS=axon python vla_scripts/exp_qlora_scaling.py [--trace]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def _build_state_shapes(cfg, platform, tcfg):
+    from openvla_oft_tpu.ops.quant import quantize_tree
+    from openvla_oft_tpu.policy import init_openvla_params
+    from openvla_oft_tpu.training.lora import init_lora
+    from openvla_oft_tpu.training.train_step import create_train_state
+
+    def build():
+        full = init_openvla_params(jax.random.PRNGKey(0), cfg, platform,
+                                   dtype=jnp.bfloat16, head="l1")
+        base = {k: full[k] for k in ("llm", "vision_backbone", "projector")}
+        trainables = {"lora": init_lora(jax.random.PRNGKey(1), base,
+                                        rank=tcfg.lora_rank),
+                      "action_head": full["action_head"],
+                      "proprio_projector": full["proprio_projector"]}
+        for k in base:
+            base[k] = quantize_tree(base[k], min_dim=1024)
+        return create_train_state(base, trainables, tcfg, jax.random.PRNGKey(2))
+
+    shapes = jax.eval_shape(build)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def _batch(b, s, cfg, platform):
+    rng = np.random.default_rng(0)
+    ids = np.full((b, s), 5, np.int32)
+    ids[:, 0] = 1
+    labels = np.full((b, s), -100, np.int32)
+    labels[:, -(platform.chunk_len + 1):] = 31800
+    return {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((b, s), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "pixel_values": jnp.asarray(
+            rng.normal(0, 1, (b, cfg.num_images_in_input, 2, 224, 224, 3)),
+            jnp.bfloat16),
+        "actions": jnp.asarray(
+            rng.normal(0, 0.5, (b, platform.num_actions_chunk,
+                                platform.action_dim)), jnp.float32),
+        "proprio": jnp.asarray(rng.normal(0, 1, (b, platform.proprio_dim)),
+                               jnp.float32),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_cfg
+    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.training.train_step import (TrainConfig,
+                                                     make_optimizer,
+                                                     train_step)
+
+    cfg = _flagship_cfg()
+    platform = LIBERO
+    tcfg = TrainConfig(objective="l1", lora_rank=32, lora_alpha=16.0,
+                       learning_rate=5e-4)
+    tx = make_optimizer(tcfg)
+    state = _build_state_shapes(cfg, platform, tcfg)
+
+    # ~S after multimodal assembly: prompt(~26) + 512 patches + proprio +
+    # chunk+1; the train layout pads the text bucket to 64.
+    s_text = 64
+
+    step = jax.jit(
+        lambda st, bt: train_step(st, bt, cfg, platform, tcfg, tx=tx),
+        donate_argnums=(0,))
+
+    def sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+    for b in args.batches:
+        batch = _batch(b, s_text, cfg, platform)
+        t0 = time.perf_counter()
+        st2, m = step(state, batch)
+        sync(m)
+        compile_s = time.perf_counter() - t0
+        # steady state: chain K steps, one final sync; subtract RTT
+        st2, m = step(st2, batch)
+        sync(m)
+        rtts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(jnp.zeros(()))
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        t0 = time.perf_counter()
+        for _ in range(args.k):
+            st2, m = step(st2, batch)
+        sync(m)
+        ms = (time.perf_counter() - t0 - rtt) / args.k * 1e3
+        # 8N FLOPs/token on the 7B (6.7e9 quantized-effective? use 6.74e9
+        # LLM+ViT matmul params) — keep the round-2 MFU convention:
+        # 8 * params * tokens with tokens = b * ~609.
+        n_par = 6.9e9
+        toks = b * 609
+        mfu = 8 * n_par * toks / (ms / 1e3) / 394e12
+        print(f"b={b}: {ms:8.1f} ms/step  compile {compile_s:5.1f}s  "
+              f"tok/s {toks / (ms / 1e3):7.0f}  MFU~{mfu * 100:4.1f}%",
+              flush=True)
+        del st2, m, batch
+
+        if args.trace:
+            from openvla_oft_tpu.utils.profiling import trace
+
+            batch = _batch(b, s_text, cfg, platform)
+            stt = _build_state_shapes(cfg, platform, tcfg)
+            with trace(f"/tmp/qlora_trace_b{b}"):
+                stt, m = step(stt, batch)
+                sync(m)
+            print(f"trace written to /tmp/qlora_trace_b{b}", flush=True)
+            del stt, m, batch
+
+
+if __name__ == "__main__":
+    main()
