@@ -143,7 +143,13 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
     if getattr(cfg, "fuse_weights", True):
         from openvla_oft_tpu.models.llama import fuse_inference_weights
 
-        params["llm"] = fuse_inference_weights(params["llm"])
+        # RMSNorm folds only for full-precision serving: under int8/int4 the
+        # fold scales kernel rows and coarsens per-output-channel quant grids
+        # (concat-only fusion is quantization-exact; docs/QUANTIZATION.md).
+        params["llm"] = fuse_inference_weights(
+            params["llm"],
+            fold_norms=not (getattr(cfg, "load_in_8bit", False)
+                            or getattr(cfg, "load_in_4bit", False)))
 
     # Quantized inference (reference load_in_8bit/4bit via bitsandbytes,
     # openvla_utils.py:282-303 — here the TPU int8 MXU / packed-int4 paths).

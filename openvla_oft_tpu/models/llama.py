@@ -71,20 +71,27 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(params["embed"]["embedding"], input_ids, axis=0)
 
 
-def fuse_inference_weights(llm_params: Params) -> Params:
+def fuse_inference_weights(llm_params: Params,
+                           fold_norms: bool = True) -> Params:
     """Concatenate wq/wk/wv -> wqkv and gate/up -> gate_up on the output dim
     (leading stacked-layer axis preserved).
 
     Serving-path optimization for the OFT single-prefill flow: one matmul
     feeds the MXU a (d, (h+2kv)*hd) tile instead of three smaller ones, and —
     decisive for int8 — the activation is quantized and dequantized ONCE per
-    projection group. The RMSNorm learned scales additionally fold into the
-    fused kernels ((standardize(x)*g) @ W = standardize(x) @ (diag(g) W),
-    numerics-exact up to fp reassociation) — each fold deletes one full VPU
-    pass over the (S, d) activations per layer; `ops.layers.rms_norm` keeps
-    only the standardization when the scale is absent. Apply AFTER any LoRA
-    merge (LoRA factors address the unfused names); the KV-cache AR path
-    keeps unfused weights.
+    projection group. With `fold_norms` the RMSNorm learned scales
+    additionally fold into the fused kernels ((standardize(x)*g) @ W =
+    standardize(x) @ (diag(g) W), numerics-exact up to fp reassociation) —
+    each fold deletes one full VPU pass over the (S, d) activations per
+    layer; `ops.layers.rms_norm` keeps only the standardization when the
+    scale is absent. Pass fold_norms=False when the result will be int8
+    per-output-channel quantized: the fold scales kernel ROWS by gamma, which
+    inflates column absmax via Llama's gamma outlier channels and coarsens
+    the quantization grid — concat-only fusion is quantization-exact (each
+    output column quantizes independently), so the calibration evidence
+    (docs/QUANTIZATION.md) keeps describing the deployed int8 model. Apply
+    AFTER any LoRA merge (LoRA factors address the unfused names); the
+    KV-cache AR path keeps unfused weights.
     """
     layers = llm_params["layers"]
     attn, mlp = layers["attn"], layers["mlp"]
@@ -94,6 +101,8 @@ def fuse_inference_weights(llm_params: Params) -> Params:
     f32 = jnp.float32
 
     def fold(norm, kernel):
+        if not fold_norms:
+            return kernel
         g = norm["scale"].astype(f32)[..., None]           # (L, d, 1)
         return (kernel.astype(f32) * g).astype(kernel.dtype)
 
@@ -104,13 +113,15 @@ def fuse_inference_weights(llm_params: Params) -> Params:
                                 attn["wv"]["kernel"]], axis=-1)
         new_attn = {"wqkv": {"kernel": fold(attn_norm, wqkv)},
                     "wo": attn["wo"]}
-        attn_norm = {}
+        if fold_norms:
+            attn_norm = {}
     if "gate" in mlp and "bias" not in mlp["gate"]:
         gate_up = jnp.concatenate([mlp["gate"]["kernel"],
                                    mlp["up"]["kernel"]], axis=-1)
         new_mlp = {"gate_up": {"kernel": fold(mlp_norm, gate_up)},
                    "down": mlp["down"]}
-        mlp_norm = {}
+        if fold_norms:
+            mlp_norm = {}
     return {**llm_params,
             "layers": {**layers, "attn": new_attn, "mlp": new_mlp,
                        "attn_norm": attn_norm, "mlp_norm": mlp_norm}}

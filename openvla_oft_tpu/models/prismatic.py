@@ -32,7 +32,6 @@ are a static slice.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -102,9 +101,6 @@ def _patch_block(
     modeling_prismatic.py:810 — pass the hoisted block so the scan doesn't
     depend on XLA loop-invariant code motion to avoid 50x the vision cost).
     """
-    env = os.environ.get("OPENVLA_VIT_UNROLL")
-    if env:
-        vit_unroll = int(env) if env.isdigit() else env
     if precomputed_patches is not None:
         proj = precomputed_patches.astype(dtype)
     else:

@@ -75,10 +75,19 @@ def vision_backbone_forward(
     names = _featurizer_names(cfg)
     assert nb == len(names), f"expected {len(names)} backbone channel groups, got {nb}"
 
-    if "joint" in params and film_params is None and len(names) == 2:
+    if "joint" in params:
         # Serving layout: both backbones as ONE G=2 batched-GEMM program
         # (models/vit_joint.py) — built at load by `build_joint_vit_pair`
-        # from the folded per-backbone weights.
+        # from the folded per-backbone weights. The per-backbone fallback
+        # below cannot run on a joint tree (no 'featurizer' key), so an
+        # unsupported combination is an error, not a silent fallthrough.
+        if film_params is not None:
+            raise ValueError(
+                "joint ViT-pair layout does not support FiLM (per-block "
+                "modulation breaks its zero-padding invariants); load with "
+                "the per-backbone layout for use_film configs")
+        if len(names) != 2:
+            raise ValueError("joint ViT layout requires a dual-backbone config")
         from openvla_oft_tpu.models.vit_joint import vit_pair_featurize_joint
 
         imgs = [pixels[:, :, i].reshape(b * n, h, w, 3)

@@ -95,7 +95,8 @@ def init_film_params(key, cfg: ViTConfig, llm_dim: int, dtype=jnp.float32) -> Pa
     }
 
 
-def fuse_vit_inference_weights(params: Params) -> Params:
+def fuse_vit_inference_weights(params: Params,
+                               fold_norms: bool = True) -> Params:
     """Serving-path epilogue folding (numerics-exact up to fp reassociation):
 
       - LayerNorm affine folds into the FOLLOWING matmul:
@@ -109,6 +110,12 @@ def fuse_vit_inference_weights(params: Params) -> Params:
     deletes whole VPU passes over the activations instead of hoping XLA
     hides them. Apply at load time, before any quantization; training keeps
     unfused weights (the folds change gradient paths).
+
+    Pass fold_norms=False when the result will be int8 per-output-channel
+    quantized: the LN fold scales kernel ROWS (input channels), which can
+    inflate per-column absmax and coarsen the quantization grid. The
+    LayerScale fold scales OUTPUT columns — per-column quant scales absorb it
+    exactly — so it is applied regardless.
     """
     layers = dict(params["layers"])
     f32 = jnp.float32
@@ -133,9 +140,10 @@ def fuse_vit_inference_weights(params: Params) -> Params:
 
     attn = dict(layers["attn"])
     mlp = dict(layers["mlp"])
-    attn["qkv"] = fold_into_following(layers["norm1"], attn["qkv"])
-    mlp["fc1"] = fold_into_following(layers["norm2"], mlp["fc1"])
-    layers["norm1"], layers["norm2"] = {}, {}           # standardize-only
+    if fold_norms:
+        attn["qkv"] = fold_into_following(layers["norm1"], attn["qkv"])
+        mlp["fc1"] = fold_into_following(layers["norm2"], mlp["fc1"])
+        layers["norm1"], layers["norm2"] = {}, {}       # standardize-only
     if "ls1" in layers:
         attn["proj"] = fold_into_preceding(attn["proj"], layers.pop("ls1"))
     if "ls2" in layers:

@@ -113,9 +113,15 @@ def build_joint_vit_pair(
         qk = qk.reshape(n_run, d, 3, nh, hd)
         qb = qb.reshape(n_run, 3, nh, hd)
         if hd != hdj:
-            adj = jnp.asarray((hdj / hd) ** 0.5, f32)
-            qk = qk.at[:, :, 0].multiply(adj.astype(qk.dtype))
-            qb = qb.at[:, 0].multiply(adj.astype(qb.dtype))
+            # Scale in f32 and round ONCE per element: casting the scalar
+            # sqrt(hdj/hd) to bf16 first (e.g. 1.060660 -> 1.0625) would bias
+            # every attention logit by the same +0.17% instead of unbiased
+            # per-element rounding.
+            adj = (hdj / hd) ** 0.5
+            qk = qk.at[:, :, 0].set(
+                (qk[:, :, 0].astype(f32) * adj).astype(qk.dtype))
+            qb = qb.at[:, 0].set(
+                (qb[:, 0].astype(f32) * adj).astype(qb.dtype))
             qk = _pad_to(qk, 4, hdj)
             qb = _pad_to(qb, 3, hdj)
         qk = _pad_to(_pad_to(qk, 1, dj), 0, lj).reshape(lj, dj, 3 * nh * hdj)

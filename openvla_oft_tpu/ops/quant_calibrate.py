@@ -129,9 +129,11 @@ def calibrate(
 
     base = dict(params)
     if use_fused and not low_memory and "layers" in base.get("llm", {}):
-        # (fusion is numerics-exact vs unfused — tests/test_llama_parity —
-        # so low_memory calibrates unfused to skip the concat copy)
-        base["llm"] = fuse_inference_weights(base["llm"])
+        # Concat-only fusion (fold_norms=False): quantization-exact vs
+        # unfused — each output column quantizes independently, so the
+        # low_memory mode's unfused calibration describes the same int8
+        # model. (A norm-scale fold would NOT be: it scales kernel rows.)
+        base["llm"] = fuse_inference_weights(base["llm"], fold_norms=False)
 
     # weight errors first: per-layer, on-device, tiny transients
     w_err = {}

@@ -118,6 +118,7 @@ def serve_action_chunk(
     proprio_low: Optional[jnp.ndarray] = None,
     proprio_high: Optional[jnp.ndarray] = None,
     proprio_mask: Optional[jnp.ndarray] = None,
+    proprio_zero: Optional[jnp.ndarray] = None,
     use_flash="auto",
     center_crop: bool = True,
     resize_size: int = 224,
@@ -151,7 +152,12 @@ def serve_action_chunk(
         pmask = proprio_mask if proprio_mask is not None else \
             jnp.ones_like(proprio_low, bool)
         out = jnp.where(pmask, scaled, jnp.clip(proprio, -1.0, 1.0))
-        proprio = jnp.where(proprio_low == proprio_high, 0.0, out)
+        # Degenerate-dim rule must match the staged path
+        # (data/transforms.normalize): judged by min==max when the caller has
+        # full stats (pass `proprio_zero`), by the active bounds otherwise.
+        zero = proprio_zero if proprio_zero is not None else \
+            proprio_low == proprio_high
+        proprio = jnp.where(zero, 0.0, out)
 
     out = predict_action_hidden(params, cfg, platform, input_ids=input_ids,
                                 prompt_mask=prompt_mask, pixels=pixels,
@@ -354,6 +360,11 @@ class OpenVLAPolicy:
             jnp.asarray(_first_key(p_stats, hi_k, "q99", "max"), jnp.float32),
             proprio_mask=None if p_stats is None or "mask" not in p_stats else
             jnp.asarray(p_stats["mask"], bool),
+            proprio_zero=None if p_stats is None else jnp.asarray(
+                np.asarray(p_stats["min"]) == np.asarray(p_stats["max"])
+                if "min" in p_stats and "max" in p_stats else
+                np.asarray(_first_key(p_stats, lo_k, "q01", "min"))
+                == np.asarray(_first_key(p_stats, hi_k, "q99", "max")), bool),
             center_crop=center_crop)
         return np.asarray(actions)[0]
 

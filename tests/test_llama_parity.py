@@ -152,8 +152,11 @@ def test_gqa_mistral_style_matches_hf(rng):
 
 def test_fused_inference_weights_parity():
     """wqkv/gate_up serving fusion is numerics-exact vs unfused weights on
-    the full forward, the KV-cache prefill/decode, and under int8 (per-out-
-    channel scales are independent, so fused quantization is bit-identical)."""
+    the full forward, the KV-cache prefill/decode, and — with fold_norms=False
+    (concat-only) — bit-identical under int8 (per-out-channel scales are
+    independent). Norm scales are randomized so the RMSNorm fold and the
+    int8 invariant are both non-trivial (gamma=1 would make the fold an
+    identity and hide regressions)."""
     import jax
     import jax.numpy as jnp
 
@@ -169,6 +172,12 @@ def test_fused_inference_weights_parity():
     from openvla_oft_tpu.ops.quant import quantize_tree
 
     p = init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA, dtype=jnp.float32)
+    L, d = TINY_LLAMA.num_layers, TINY_LLAMA.hidden_size
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    p["layers"]["attn_norm"]["scale"] = 1.0 + 0.3 * jax.random.normal(
+        ks[0], (L, d), jnp.float32)
+    p["layers"]["mlp_norm"]["scale"] = 1.0 + 0.3 * jax.random.normal(
+        ks[1], (L, d), jnp.float32)
     pf = fuse_inference_weights(p)
     assert "wqkv" in pf["layers"]["attn"] and "gate_up" in pf["layers"]["mlp"]
     x = jax.random.normal(jax.random.PRNGKey(1),
@@ -186,8 +195,16 @@ def test_fused_inference_weights_parity():
     d2, _ = llama_decode_step(pf, TINY_LLAMA, tok, c2)
     np.testing.assert_allclose(d1, d2, atol=1e-5)
 
+    # int8 invariant: concat-only fusion (fold_norms=False) quantizes each
+    # output column independently, so the fused int8 model is BIT-identical
+    # to the unfused one — this is what keeps the calibration evidence
+    # describing the deployed model. (The fold_norms=True tree would NOT be:
+    # gamma scales kernel rows, inflating per-column absmax.)
+    pc = fuse_inference_weights(p, fold_norms=False)
+    assert "scale" in pc["layers"]["attn_norm"], \
+        "fold_norms=False must keep the RMSNorm scales"
     q_un = quantize_tree(p, min_dim=TINY_LLAMA.hidden_size)
-    q_fu = quantize_tree(pf, min_dim=TINY_LLAMA.hidden_size)
+    q_fu = quantize_tree(pc, min_dim=TINY_LLAMA.hidden_size)
     o_un = np.asarray(llama_model(q_un, TINY_LLAMA, x))
     o_fu = np.asarray(llama_model(q_fu, TINY_LLAMA, x))
     np.testing.assert_array_equal(o_un, o_fu)

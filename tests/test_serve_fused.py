@@ -83,6 +83,69 @@ def test_serve_action_chunk_matches_staged_pipeline(rng):
     np.testing.assert_allclose(fused[..., -1], norm[..., -1], atol=1e-6)
 
 
+def test_serve_degenerate_proprio_matches_staged(rng):
+    """Degenerate-dim zeroing must follow the staged normalizer's rule
+    (data/transforms.normalize): judged by min==max when full stats exist —
+    a dim with q01==q99 but min!=max is NOT zeroed (it saturates to ±1),
+    while a truly constant dim (min==max) maps to 0."""
+    from openvla_oft_tpu.data.transforms import normalize
+
+    params = init_openvla_params(jax.random.PRNGKey(1), CFG, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    size = TINY_DINOV2.image_size
+    frames = (rng.random((1, 1, size + 12, size + 12, 3)) * 255
+              ).astype(np.uint8)
+    pd = LIBERO.proprio_dim
+    proprio_raw = (rng.random((1, pd)).astype(np.float32) * 3 - 1)
+    proprio_raw[0, 0] = 0.9   # above its collapsed q01==q99 bound
+    proprio_raw[0, 1] = 0.3   # value at a truly constant dim
+
+    q01 = np.linspace(-1.0, -0.5, pd).astype(np.float32)
+    q99 = np.linspace(0.5, 1.0, pd).astype(np.float32)
+    pmin = q01 - 0.5
+    pmax = q99 + 0.5
+    q01[0] = q99[0] = 0.5        # percentile-degenerate, min!=max
+    pmin[1] = pmax[1] = q01[1] = q99[1] = 0.3   # truly constant dim
+
+    bucket = 16
+    ids = np.zeros((1, bucket), np.int32)
+    mask = np.zeros((1, bucket), np.int32)
+    ids[0, -3:] = [1, 42, 29871]
+    mask[0, -3:] = 1
+    low = np.full((LIBERO.action_dim,), -0.8, np.float32)
+    high = np.full((LIBERO.action_dim,), 0.8, np.float32)
+    amask = np.ones((LIBERO.action_dim,), bool)
+
+    fused = np.asarray(serve_action_chunk(
+        params, CFG, LIBERO, frames_u8=jnp.asarray(frames),
+        input_ids=jnp.asarray(ids), prompt_mask=jnp.asarray(mask),
+        proprio=jnp.asarray(proprio_raw),
+        action_low=jnp.asarray(low), action_high=jnp.asarray(high),
+        action_mask=jnp.asarray(amask),
+        proprio_low=jnp.asarray(q01), proprio_high=jnp.asarray(q99),
+        proprio_zero=jnp.asarray(pmin == pmax),
+        use_flash=False, resize_size=size))
+
+    # staged oracle: transforms.normalize (min==max rule) + reference clip
+    p_meta = {"q01": q01, "q99": q99, "min": pmin, "max": pmax}
+    p_norm = np.clip(normalize(proprio_raw, p_meta,
+                               NormalizationType.BOUNDS_Q99), -1.0, 1.0)
+    assert p_norm[0, 0] == 1.0 and p_norm[0, 1] == 0.0  # the rule, pinned
+    img = np.asarray(resize_lanczos3(jnp.asarray(frames[0, 0]), size))
+    img = np.asarray(center_crop_resize(jnp.asarray(img), 0.9))
+    pixels = np.asarray(make_device_transform(CFG)(jnp.asarray(img[None])))
+    out = predict_action_hidden(
+        params, CFG, LIBERO, input_ids=jnp.asarray(ids),
+        prompt_mask=jnp.asarray(mask), pixels=jnp.asarray(pixels)[None],
+        proprio=jnp.asarray(p_norm), use_flash=False)
+    norm = np.asarray(l1_head_predict(
+        params["action_head"], out.actions_hidden.astype(jnp.float32), LIBERO))
+    staged = unnormalize_actions(
+        norm, {"min": low, "max": high, "mask": amask},
+        NormalizationType.BOUNDS)
+    np.testing.assert_allclose(fused, staged, rtol=1e-5, atol=1e-5)
+
+
 def test_predict_action_from_frames_policy_api(rng):
     """OpenVLAPolicy.predict_action_from_frames drives serve_action_chunk
     with stats pulled from norm_stats (bounds for LIBERO-like q99 platforms

@@ -82,6 +82,59 @@ def test_joint_rejects_unfolded():
         build_joint_vit_pair(raw, cfgs, NAMES)
 
 
+def test_joint_scale_fold_unbiased_in_bf16():
+    """The sqrt(hdj/hd) softmax-scale fold must be computed in f32 and
+    rounded ONCE per element: casting the scalar to bf16 first would bias
+    every attention logit of the smaller-head backbone systematically."""
+    cfgs = (TINY_DINOV2, TINY_SIGLIP)
+    assert TINY_SIGLIP.head_dim < TINY_DINOV2.head_dim  # fold is non-trivial
+    params = {}
+    for name, cfg, k in zip(NAMES, cfgs,
+                            jax.random.split(jax.random.PRNGKey(3), 2)):
+        params[name] = fuse_vit_inference_weights(
+            init_vit_params(k, cfg, dtype=jnp.bfloat16))
+    joint = build_joint_vit_pair(params, cfgs, NAMES)
+
+    g = 1  # the smaller-head group
+    cfg = cfgs[g]
+    nh, hd = cfg.num_heads, cfg.head_dim
+    hdj = max(c.head_dim for c in cfgs)
+    lj = joint["layers"]["qkv_k"].shape[0]
+    n_run = cfg.depth - 1
+    got = joint["layers"]["qkv_k"][:, g].reshape(lj, -1, 3, nh, hdj)
+    got_q = np.asarray(got[:n_run, :cfg.width, 0, :, :hd])
+
+    orig = params[NAMES[g]]["layers"]["attn"]["qkv"]["kernel"][:n_run]
+    orig = orig.reshape(n_run, cfg.width, 3, nh, hd)[:, :, 0]
+    adj = (hdj / hd) ** 0.5
+    want = np.asarray((orig.astype(jnp.float32) * adj).astype(jnp.bfloat16))
+    np.testing.assert_array_equal(got_q, want)
+
+
+def test_joint_film_rejected():
+    """A joint tree + FiLM is a config error, not a silent KeyError fallthrough
+    (the per-backbone fallback cannot run on a joint tree)."""
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.models.vision_backbone import (
+        init_film,
+        vision_backbone_forward,
+    )
+
+    C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+    C._LLM_REGISTRY.setdefault("tiny-llama", C.TINY_LLAMA)
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama", use_film=True)
+    params = _make_pair(cfg.vision_configs, seed=4)
+    with_joint = {"joint": build_joint_vit_pair(params, cfg.vision_configs)}
+    film = init_film(jax.random.PRNGKey(5), cfg)
+    h = TINY_DINOV2.image_size
+    pixels = jnp.zeros((1, 1, 2, h, h, 3), jnp.float32)
+    lang = jnp.zeros((1, cfg.llm_dim), jnp.float32)
+    with pytest.raises(ValueError, match="FiLM"):
+        vision_backbone_forward(with_joint, cfg, pixels,
+                                film_params=film, language_embedding=lang)
+
+
 def test_joint_through_vision_backbone_forward():
     """vision_backbone_forward dispatches to the joint program when a
     'joint' entry is present and produces the same concatenated features as

@@ -233,3 +233,15 @@ def test_fuse_vit_inference_weights_exact():
         assert "ls1" not in fused["layers"]
         got = np.asarray(vit_featurize(fused, cfg, imgs))
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+        # fold_norms=False (int8 serving): LN affines stay (their fold scales
+        # kernel ROWS, which would coarsen per-output-channel quant grids);
+        # LayerScale still folds (output-column scaling, quantization-exact).
+        part = fuse_vit_inference_weights(params, fold_norms=False)
+        assert "scale" in part["layers"]["norm1"]
+        assert "ls1" not in part["layers"] or "ls1" not in params["layers"]
+        np.testing.assert_array_equal(
+            np.asarray(part["layers"]["attn"]["qkv"]["kernel"]),
+            np.asarray(params["layers"]["attn"]["qkv"]["kernel"]))
+        got_part = np.asarray(vit_featurize(part, cfg, imgs))
+        np.testing.assert_allclose(got_part, ref, rtol=2e-5, atol=2e-5)
