@@ -281,12 +281,16 @@ def build_env_context(env_name: str, controller_path: str, variation: int,
     if controller_path:
         controller = load_controller_config(custom_fpath=controller_path)
     else:  # in-repo defaults, identical to the fork's osc_pose.json
+        import os
         import tempfile
 
         with tempfile.NamedTemporaryFile("w", suffix=".json",
                                          delete=False) as f:
             json.dump(OSC_POSE_CONTROLLER, f)
-        controller = load_controller_config(custom_fpath=f.name)
+        try:
+            controller = load_controller_config(custom_fpath=f.name)
+        finally:
+            os.unlink(f.name)
 
     # 'ur5e_pick_place[_abs_pose]' style names map onto the base task entry.
     base = next((k for k in ROBOSUITE_TASK_MAP if k in env_name), None)

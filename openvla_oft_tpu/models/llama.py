@@ -90,11 +90,18 @@ def fuse_inference_weights(llm_params: Params,
     the quantization grid — concat-only fusion is quantization-exact (each
     output column quantizes independently), so the calibration evidence
     (docs/QUANTIZATION.md) keeps describing the deployed int8 model. Apply
-    AFTER any LoRA merge (LoRA factors address the unfused names); the
-    KV-cache AR path keeps unfused weights.
+    AFTER any LoRA merge (LoRA factors address the unfused names). The
+    KV-cache AR path handles fused+folded trees too (`_qkv_proj`, scale-less
+    `rms_norm`). Phi-family trees (no attn_norm/mlp_norm split) are returned
+    unchanged.
     """
     layers = llm_params["layers"]
     attn, mlp = layers["attn"], layers["mlp"]
+    if "attn_norm" not in layers:
+        # Phi-family trees ({attn, mlp, ln}: parallel blocks, biased
+        # projections) take neither the concat nor the norm fold — no-op,
+        # as before round 3.
+        return llm_params
     if any("lora" in key for sub in (attn, mlp)
            for leaf in sub.values() for key in leaf):
         raise ValueError("fuse_inference_weights after LoRA merge, not before")

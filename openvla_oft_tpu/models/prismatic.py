@@ -54,7 +54,8 @@ from openvla_oft_tpu.models.projector import (
     vision_projector,
 )
 from openvla_oft_tpu.models.vision_backbone import vision_backbone_forward
-from openvla_oft_tpu.ops.masks import get_all_actions_mask
+from openvla_oft_tpu.ops.masks import (get_all_actions_mask,
+                                       make_block_bidirectional_mask)
 
 Params = Dict[str, Any]
 
@@ -531,10 +532,8 @@ def diffusion_suffix_step(
     key_valid = jnp.concatenate(
         [jnp.ones((b, 1), bool), prefix.text_valid,
          jnp.ones((b, chunk + 1), bool)], axis=1)
-    causal = jnp.tril(jnp.ones((s_suf, s_suf), bool))[None]
-    window = (i >= p_len)  # actions + STOP: the bidirectional block
-    bidir = window[:, :, None] & window[:, None, :]
-    suf_mask = (causal | bidir) & key_valid[:, None, :]
+    window = jnp.broadcast_to(i >= p_len, (b, s_suf))  # actions + STOP block
+    suf_mask = make_block_bidirectional_mask(key_valid, window)
     mask = jnp.concatenate(
         [jnp.ones((b, s_suf, n_pre), bool), suf_mask], axis=-1)[:, None]
 

@@ -231,3 +231,18 @@ def test_prompt_builders_reference_formats():
     assert isinstance(get_prompt_builder("mistral-v0.1-7b-instruct"),
                       MistralInstructPromptBuilder)
     assert isinstance(get_prompt_builder("phi-2-3b"), PhiPromptBuilder)
+
+
+def test_fuse_inference_weights_phi_noop():
+    """`fuse_inference_weights` must pass Phi trees through unchanged — the
+    eval loader calls it unconditionally (openvla_utils.py get_vla,
+    fuse_weights=True) and Phi layers have no attn_norm/mlp_norm split
+    (round-3 regression: KeyError('attn_norm') at model load)."""
+    import jax
+
+    from openvla_oft_tpu.models.llama import fuse_inference_weights
+    from openvla_oft_tpu.models.phi import init_phi_params
+
+    params = init_phi_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    fused = fuse_inference_weights(params)
+    assert fused is params
