@@ -626,8 +626,10 @@ def prepare_prompt_ids(tokenizer, instruction: str, bucket: int,
     `max_length` mirrors the reference llm_max_length=2048
     (configuration_prismatic.py:84) and is the only hard limit.
     """
-    prompt = f"In: What action should the robot take to {instruction.lower()}?\nOut: "
-    ids = tokenizer(prompt, add_special_tokens=True)["input_ids"]
+    from openvla_oft_tpu.processing.processor import build_prompt
+
+    ids = tokenizer(build_prompt(instruction),
+                    add_special_tokens=True)["input_ids"]
     if ids[-1] != EMPTY_TOKEN_ID:
         ids = ids + [EMPTY_TOKEN_ID]
     if len(ids) > bucket:

@@ -107,12 +107,12 @@ class PrismaticProcessor:
         self._transform = make_device_transform(cfg)
 
     def __call__(self, text: Union[str, List[str]],
-                 images: Union[np.ndarray, Sequence[np.ndarray]],
-                 padding: bool = False) -> dict:
+                 images: Union[np.ndarray, Sequence[np.ndarray]]) -> dict:
         """text: prompt(s); images: (H,W,3) uint8 or list of them (per text).
 
-        Returns np arrays: input_ids (B, L), attention_mask (B, L),
-        pixel_values (B, N_img, n_backbones, H, W, 3).
+        Returns np arrays: input_ids (B, L), attention_mask (B, L) — always
+        padded to the batch max — and pixel_values
+        (B, N_img, n_backbones, H, W, 3).
         """
         texts = [text] if isinstance(text, str) else list(text)
         if isinstance(images, np.ndarray) and images.ndim == 3:

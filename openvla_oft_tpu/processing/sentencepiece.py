@@ -59,13 +59,20 @@ def _iter_fields(data: bytes):
         if wire == 0:  # varint
             val, i = _read_varint(data, i)
         elif wire == 1:  # 64-bit
+            if i + 8 > n:
+                raise ValueError("truncated protobuf (64-bit field past EOF)")
             val = int.from_bytes(data[i:i + 8], "little")
             i += 8
         elif wire == 2:  # length-delimited
             ln, i = _read_varint(data, i)
+            if i + ln > n:
+                raise ValueError("truncated protobuf (length-delimited field "
+                                 f"of {ln} bytes past EOF)")
             val = data[i:i + ln]
             i += ln
         elif wire == 5:  # 32-bit
+            if i + 4 > n:
+                raise ValueError("truncated protobuf (32-bit field past EOF)")
             val = int.from_bytes(data[i:i + 4], "little")
             i += 4
         else:
@@ -124,6 +131,19 @@ def parse_model_proto(data: bytes) -> SPModel:
             for f2, w2, v2 in _iter_fields(val):
                 if f2 == 3 and w2 == 0:
                     add_dummy_prefix = bool(v2)
+    # Sanity gate: a tiktoken-format (Llama-3) or otherwise non-ModelProto
+    # file can parse "successfully" into garbage — reject anything that
+    # doesn't look like a SentencePiece model rather than tokenizing wrong.
+    if not pieces:
+        raise ValueError("no SentencePiece pieces parsed — not a "
+                         "sentencepiece ModelProto?")
+    if model_type not in (1, 2):  # UNIGRAM | BPE
+        raise ValueError(f"unsupported sentencepiece model_type={model_type} "
+                         "(only unigram/BPE)")
+    if byte_fallback and not any(
+            t == BYTE and len(p) == 6 and p.startswith("<0x")
+            for p, t in zip(pieces, types)):
+        raise ValueError("byte_fallback set but no <0xNN> byte pieces found")
     unk_id = next((i for i, t in enumerate(types) if t == UNKNOWN), 0)
     return SPModel(pieces, scores, types, model_type, byte_fallback,
                    add_dummy_prefix, unk_id)
@@ -205,7 +225,11 @@ class SentencePieceTokenizer:
             else:
                 out.append(p.replace(WHITESPACE, " ").encode("utf-8"))
         text = b"".join(out).decode("utf-8", errors="replace")
-        return text[1:] if text.startswith(" ") else text
+        # Only the dummy prefix the *encoder* added is stripped; a model
+        # without add_dummy_prefix round-trips genuine leading spaces.
+        if self.model.add_dummy_prefix and text.startswith(" "):
+            return text[1:]
+        return text
 
     # --- byte fallback for symbols outside the vocab ---
     def _fallback(self, sym: str) -> List[int]:
@@ -310,4 +334,14 @@ def load_sentencepiece(path_or_dir: Union[str, Path]
         p = p / "tokenizer.model"
     if not p.is_file():
         return None
-    return SentencePieceTokenizer(p)
+    try:
+        return SentencePieceTokenizer(p)
+    except (ValueError, IndexError, UnicodeDecodeError) as e:
+        # Corrupt / non-SP tokenizer.model (e.g. Llama-3's tiktoken format):
+        # be loud, then let the caller fall back to the HF stack rather than
+        # serving a silently wrong tokenizer.
+        import warnings
+
+        warnings.warn(f"{p} is not a usable sentencepiece model ({e}); "
+                      "falling back to the HF tokenizer path")
+        return None

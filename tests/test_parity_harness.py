@@ -113,3 +113,60 @@ def test_validate_parity_fails_on_mismatch(tmp_path, monkeypatch):
                                num_images_in_input=2, use_proprio=False,
                                unnorm_key="libero_spatial"))
     assert not ok
+
+
+def test_validate_parity_l1_head_with_pt_modules(tmp_path, monkeypatch):
+    """Round-3 review regression: stage 5 must load the per-module
+    action_head / proprio_projector .pt files (OFT release layout), pick the
+    L1 head, normalize proprio via the eval API, and PASS against an npz
+    recorded through the same get_vla_action program — the old code ran
+    head='discrete' with raw proprio and KeyError'd on proprio_projector."""
+    from types import SimpleNamespace
+
+    monkeypatch.setenv("OPENVLA_ALLOW_FAKE_TOKENIZER", "1")
+    from examples.quickstart import load_observation
+    from experiments.robot.openvla_utils import _try_tokenizer, get_vla_action
+    from openvla_oft_tpu.models.action_heads import init_l1_head
+    from openvla_oft_tpu.models.projector import init_proprio_projector
+    from openvla_oft_tpu.training.checkpoint import export_module_pt
+    from vla_scripts.validate_parity import ParityConfig, validate
+
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head=None)
+    base = {k: params[k] for k in ("llm", "vision_backbone", "projector")}
+    stats = {"libero_spatial": {
+        "action": STATS["libero_spatial"]["action"],
+        "proprio": {"q01": [-1.0] * 8, "q99": [1.0] * 8,
+                    "min": [-1.0] * 8, "max": [1.0] * 8},
+    }}
+    ckpt = export_openvla_checkpoint(CFG, base, str(tmp_path / "oft_ckpt"),
+                                     norm_stats=stats)
+    llm_dim = TINY_LLAMA.hidden_size
+    head = init_l1_head(jax.random.PRNGKey(3), LIBERO, llm_dim=llm_dim,
+                        hidden_dim=32)
+    pproj = init_proprio_projector(jax.random.PRNGKey(4),
+                                   proprio_dim=LIBERO.proprio_dim,
+                                   llm_dim=llm_dim)
+    export_module_pt(head, "action_head", ckpt, 1000)
+    export_module_pt(pproj, "proprio_projector", ckpt, 1000)
+
+    # Expected actions through the same eval-API program the harness runs.
+    model_cfg, loaded, norm_stats = load_openvla_checkpoint(
+        ckpt, dtype=jnp.bfloat16)
+    obs = load_observation(None)
+    task = obs.pop("task_description")
+    policy = OpenVLAPolicy(cfg=model_cfg, platform=LIBERO, params=loaded,
+                           norm_stats=norm_stats, head="l1",
+                           tokenizer=_try_tokenizer(ckpt))
+    eval_cfg = SimpleNamespace(num_images_in_input=2, use_proprio=True,
+                               center_crop=True, unnorm_key="libero_spatial",
+                               device_preprocess=False)
+    actions = get_vla_action(eval_cfg, policy, None, dict(obs), task,
+                             action_head=head, proprio_projector=pproj)
+
+    npz = tmp_path / "ref.npz"
+    np.savez(npz, actions=np.asarray(actions, np.float32))
+    ok = validate(ParityConfig(checkpoint=ckpt, reference_outputs=str(npz),
+                               num_images_in_input=2, use_proprio=True,
+                               unnorm_key="libero_spatial"))
+    assert ok, "L1 .pt-module stage-5 parity failed"

@@ -215,3 +215,50 @@ def test_derive_prompt_bucket():
     for ins in corpus:
         ids, mask = prepare_prompt_ids(tok, ins, bucket)
         assert len(ids) == bucket
+
+
+# --- round-3 review regressions: loud rejection of non-SP assets ---
+def test_truncated_proto_raises():
+    import pytest
+
+    data = _model(_llama_like_pieces([("▁a", -1.0)]))
+    with pytest.raises(ValueError):
+        parse_model_proto(data[:-2])  # cuts the final length-delimited field
+
+
+def test_garbage_and_empty_models_rejected(tmp_path):
+    import warnings
+
+    import pytest
+
+    from openvla_oft_tpu.processing.sentencepiece import load_sentencepiece
+
+    with pytest.raises(ValueError):
+        parse_model_proto(_model([]))  # parses clean but has no pieces
+    # byte_fallback claimed but no <0xNN> pieces -> refuse
+    with pytest.raises(ValueError):
+        parse_model_proto(_model([("<unk>", 0.0, UNKNOWN), ("a", -1.0, NORMAL)],
+                                 byte_fallback=True))
+    # load_sentencepiece: corrupt/tiktoken-format file -> warn + None so the
+    # caller falls back to the HF stack instead of tokenizing garbage
+    bad = tmp_path / "tokenizer.model"
+    bad.write_bytes(b"IQ==\nRA==\n" * 200)  # tiktoken-style base64 lines
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert load_sentencepiece(tmp_path) is None
+        assert any("not a usable sentencepiece" in str(x.message) for x in w)
+
+
+def test_decode_preserves_space_without_dummy_prefix():
+    # singles + "▁h" give BPE a merge path up to "▁hi"
+    pieces = _llama_like_pieces([("▁", -10.0), ("h", -10.0), ("i", -10.0),
+                                 ("▁h", -2.0), ("▁hi", -1.0)])
+    with_prefix = SentencePieceTokenizer(parse_model_proto(
+        _model(pieces, add_dummy_prefix=True)))
+    without = SentencePieceTokenizer(parse_model_proto(
+        _model(pieces, add_dummy_prefix=False)))
+    hid = with_prefix.vocab["▁hi"]
+    # encoder-added dummy prefix is stripped on decode...
+    assert with_prefix.decode(with_prefix.encode("hi", add_bos=False)) == "hi"
+    # ...but a genuine leading space survives when the model adds no prefix
+    assert without.decode([hid]) == " hi"

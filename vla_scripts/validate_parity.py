@@ -39,6 +39,12 @@ class ParityConfig:
     num_images_in_input: int = 2
     use_proprio: bool = True
     center_crop: bool = True
+    # Action head for stage 5. "auto" = L1 when an action_head .pt sits in
+    # the checkpoint dir (the OFT release layout the recorder targets),
+    # else the discrete LM-logit decode. Must match how
+    # record_reference_outputs.py ran (it records get_vla_action with the
+    # reference's L1 head by default).
+    head: str = "auto"                     # auto | l1 | diffusion | discrete
     atol: float = 2e-2                     # bf16 end-to-end tolerance
     # Day-one chaining (PARITY_RUNBOOK.md: one command from import to bench):
     calibrate_int8: bool = False           # re-run int8 calibration on PASS
@@ -52,6 +58,13 @@ def _report(name: str, ours: np.ndarray, ref: Optional[np.ndarray],
     if ref is None:
         print(f"  [stats] {name}: {stats}")
         return True
+    if tuple(ours.shape) != tuple(ref.shape):
+        # Shape drift (e.g. a tokenizer emitting one extra merge) is the most
+        # likely first divergence — report it as a FAIL, don't crash on the
+        # broadcast so later stages still run.
+        print(f"  [FAIL] {name}: shape mismatch ours={tuple(ours.shape)} "
+              f"ref={tuple(ref.shape)} {stats}")
+        return False
     err = np.abs(ours.astype(np.float32) - ref.astype(np.float32)).max()
     ok = err <= atol
     print(f"  [{'OK ' if ok else 'FAIL'}] {name}: max|Δ|={err:.5f} "
@@ -164,15 +177,61 @@ def validate(cfg: ParityConfig) -> bool:
     ok &= _report("projected_patches", proj, refs.get("projected_patches"),
                   cfg.atol)
 
-    print("[5/5] end-to-end predict_action")
+    print("[5/5] end-to-end action chunk (eval API)")
+    # Per-module OFT artifacts: the released checkpoints keep the action
+    # head / proprio projector in separate .pt files next to the HF weights
+    # (reference openvla_utils.py get_action_head/get_proprio_projector);
+    # load whichever exist and pick the head accordingly so the comparison
+    # runs the same program the recorder did.
+    from types import SimpleNamespace
+
+    from experiments.robot.openvla_utils import get_vla_action
+    from openvla_oft_tpu.training.checkpoint import (
+        find_checkpoint_file, import_action_head_pt, import_projector_pt)
+
+    def _try_module(pattern, importer, **kw):
+        try:
+            return importer(find_checkpoint_file(cfg.checkpoint, pattern), **kw)
+        except (AssertionError, FileNotFoundError, KeyError):
+            return None
+
+    head = cfg.head
+    action_head = (_try_module("action_head", import_action_head_pt,
+                               head=("diffusion" if head == "diffusion"
+                                     else "l1"))
+                   if head != "discrete" else None)
+    if head == "auto":
+        if action_head is None:  # diffusion .pt? (noise_predictor keys)
+            action_head = _try_module("action_head", import_action_head_pt,
+                                      head="diffusion")
+            head = "diffusion" if action_head is not None else "discrete"
+        else:
+            head = "l1"
+    elif head in ("l1", "diffusion") and action_head is None:
+        print(f"  [FAIL] head={head} requested but no action_head .pt in "
+              f"{cfg.checkpoint}")
+        ok = False
+        head = "discrete"
+    use_proprio = cfg.use_proprio and "state" in obs and bool(norm_stats)
+    proprio_projector = (_try_module("proprio_projector", import_projector_pt,
+                                     kind="proprio") if use_proprio else None)
+    noisy_projector = (_try_module("noisy_action_projector",
+                                   import_projector_pt, kind="noisy_action")
+                       if head == "diffusion" else None)
+    use_proprio = use_proprio and proprio_projector is not None
+    print(f"  head={head} proprio={'on' if use_proprio else 'off'}")
+
     policy = OpenVLAPolicy(cfg=model_cfg, platform=platform, params=params,
-                           norm_stats=norm_stats, head="discrete",
+                           norm_stats=norm_stats, head=head,
                            tokenizer=tokenizer)
-    actions = policy.predict_action(
-        pixels, task,
-        proprio=np.asarray(obs["state"], np.float32) if cfg.use_proprio and
-        "state" in obs and norm_stats else None,
-        unnorm_key=cfg.unnorm_key or None)
+    eval_cfg = SimpleNamespace(
+        num_images_in_input=cfg.num_images_in_input, use_proprio=use_proprio,
+        center_crop=cfg.center_crop, unnorm_key=cfg.unnorm_key or None,
+        device_preprocess=False)
+    actions = get_vla_action(eval_cfg, policy, None, dict(obs), task,
+                             action_head=action_head,
+                             proprio_projector=proprio_projector,
+                             noisy_action_projector=noisy_projector)
     ok &= _report("actions", np.asarray(actions), refs.get("actions"), cfg.atol)
 
     print("PARITY:", "PASS" if ok else "FAIL")
