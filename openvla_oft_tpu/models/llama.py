@@ -34,6 +34,23 @@ from openvla_oft_tpu.ops.rotary import apply_rope, rope_sin_cos
 Params = Dict[str, Any]
 
 
+def resolve_remat_policy(name: Optional[str]):
+    """Map a remat-policy name to a `jax.checkpoint` policy.
+
+    - None / "all": recompute everything in backward (minimum HBM; the
+      round-2 default that trains 7B QLoRA on one 16 GB chip at batch 1).
+    - "dots": save matmul outputs (`dots_with_no_batch_dims_saveable`) —
+      trades ~2 GB/batch-element of saved activations at LIBERO geometry for
+      skipping the forward recompute; the lever for the measured b>=2 MFU
+      droop (docs/PERFORMANCE.md "Single-chip 7B training").
+    """
+    if name is None or name == "all":
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"Unknown remat policy {name!r} (use 'all'|'dots'|'none')")
+
+
 # === Init ===
 def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Params:
     """Random init with stacked per-layer arrays (porting overwrites these)."""
@@ -201,6 +218,7 @@ def llama_model(
     use_flash: bool = False,
     bidir_block: Optional[tuple] = None,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     attn_mask: Optional[jnp.ndarray] = None,
     unroll: int = 1,
     out_window: Optional[Tuple[int, int]] = None,
@@ -261,7 +279,8 @@ def llama_model(
         return y, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        body = jax.checkpoint(body, prevent_cse=False,
+                              policy=resolve_remat_policy(remat_policy))
 
     if out_window is None:
         x, _ = jax.lax.scan(body, x, params["layers"], unroll=unroll)

@@ -105,6 +105,7 @@ def phi_model(
     positions: Optional[jnp.ndarray] = None,
     attn_mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     **_ignored,
 ) -> jnp.ndarray:
     """Decoder stack; returns post-final-LayerNorm hidden states (B, S, D).
@@ -134,7 +135,10 @@ def phi_model(
         return _block(layer_params, cfg, carry, sin, cos, mask, is_causal), None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        from openvla_oft_tpu.models.llama import resolve_remat_policy
+
+        body = jax.checkpoint(body, prevent_cse=False,
+                              policy=resolve_remat_policy(remat_policy))
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return layer_norm(params["final_norm"], x, cfg.layer_norm_eps)
 

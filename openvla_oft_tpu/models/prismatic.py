@@ -179,6 +179,7 @@ def prismatic_forward(
     use_flash: bool = False,
     compute_logits: bool = True,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     gather_actions: bool = True,
 ) -> ForwardOutput:
     """Reference `PrismaticForConditionalGeneration.forward` multimodal branch
@@ -237,7 +238,8 @@ def prismatic_forward(
 
     hidden = _run_llm(params["llm"], cfg.llm, mm_embeds,
                       padding_mask=mm_pad, bidir_mask=mm_bidir,
-                      use_flash=use_flash, remat=remat)
+                      use_flash=use_flash, remat=remat,
+                      remat_policy=remat_policy)
 
     logits = lm_logits(params["llm"], hidden) if compute_logits else None
 

@@ -53,6 +53,11 @@ class TrainConfig:
     num_diffusion_steps: int = 100
     weight_decay: float = 0.01            # torch AdamW default
     grad_accumulation_steps: int = 1
+    # Activation-remat policy for the LLM stack: "all" recomputes the whole
+    # forward in backward (minimum HBM — the single-chip 7B default), "dots"
+    # saves matmul outputs (faster when HBM allows; the b>=2 MFU lever),
+    # "none" disables remat entirely (XLA saves what it needs).
+    remat_policy: str = "all"
 
 
 def lr_schedule(cfg: TrainConfig):
@@ -162,7 +167,8 @@ def loss_and_metrics(
         proprio=batch.get("proprio") if cfg.use_proprio else None,
         noisy_actions=noisy_actions, diffusion_t_emb=diffusion_t_emb,
         use_flash=use_flash, compute_logits=(cfg.objective == "discrete"),
-        remat=True, gather_actions=(cfg.objective in ("l1", "diffusion")))
+        remat=(cfg.remat_policy != "none"), remat_policy=cfg.remat_policy,
+        gather_actions=(cfg.objective in ("l1", "diffusion")))
 
     metrics: Dict[str, jnp.ndarray] = {}
     if cfg.objective == "l1":
@@ -291,7 +297,8 @@ def diffusion_sampling_metrics(
             pixels=batch["pixel_values"], labels=batch["labels"],
             proprio=batch.get("proprio") if cfg.use_proprio else None,
             noisy_actions=x_t, diffusion_t_emb=t_emb, use_flash=use_flash,
-            compute_logits=False, remat=True)
+            compute_logits=False, remat=(cfg.remat_policy != "none"),
+            remat_policy=cfg.remat_policy)
         eps = diffusion_predict_noise(
             trainables["action_head"],
             out.actions_hidden.astype(jnp.bfloat16), platform)

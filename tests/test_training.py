@@ -1,6 +1,8 @@
 """LoRA train-step tests: loss decreases, LoRA targets match, and the full
 sharded step runs on an 8-device dp×fsdp×tp CPU mesh."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 import jax
@@ -215,3 +217,50 @@ def test_train_last_layer_stage_freezes_early_layers(tmp_path):
         - np.asarray(init["llm"]["layers"]["attn"]["wq"]["kernel"][-1],
                      np.float32)).max()
     assert moved > 0, "last-layer slice did not train"
+
+
+@pytest.mark.parametrize("policy", ["dots", "none"])
+def test_remat_policy_matches_full_recompute(policy):
+    """remat_policy changes memory/compute scheduling only — grads and loss
+    must match the default full-recompute policy bit-for-bit on CPU."""
+    from openvla_oft_tpu.training.train_step import loss_and_metrics
+
+    state, cfg = _setup("l1")
+    batch = _batch()
+    rng = jax.random.PRNGKey(3)
+
+    def grads_for(c):
+        return jax.value_and_grad(loss_and_metrics, has_aux=True)(
+            state.trainables, state.base_params, batch, CFG, LIBERO, c, rng)
+
+    (loss_ref, _), g_ref = grads_for(cfg)
+    c2 = dataclasses.replace(cfg, remat_policy=policy)
+    (loss2, _), g2 = grads_for(c2)
+    # "dots" runs the identical primal program (only residual saving differs)
+    # -> bitwise grads. "none" compiles a different schedule, re-rounding
+    # bf16 intermediates: elementwise comparison is whack-a-mole, so assert
+    # per-leaf relative L2 agreement instead (a semantic bug — wrong mask,
+    # skipped layer — moves whole leaves, not ULPs).
+    np.testing.assert_allclose(float(loss_ref), float(loss2),
+                               rtol=1e-4, atol=1e-6)
+    if policy == "dots":
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6),
+            g_ref, g2)
+    else:
+        def rel_l2(a, b):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            denom = max(np.linalg.norm(a), 1e-12)
+            assert np.linalg.norm(a - b) / denom < 1e-2
+        jax.tree_util.tree_map(rel_l2, g_ref, g2)
+
+
+def test_remat_policy_unknown_name_raises():
+    from openvla_oft_tpu.models.llama import resolve_remat_policy
+
+    with pytest.raises(ValueError, match="remat policy"):
+        resolve_remat_policy("everything")
+    assert resolve_remat_policy(None) is None
+    assert resolve_remat_policy("all") is None
+    assert resolve_remat_policy("dots") is not None

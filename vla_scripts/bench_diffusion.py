@@ -33,11 +33,12 @@ def _params(cfg, platform, quant=None):
                                      with_lm_head=False,
                                      head_dtype=jnp.bfloat16)
         params["llm"] = fuse_inference_weights(params["llm"])
-        if quant == "int8":
+        if quant in ("int8", "int4"):
             from openvla_oft_tpu.ops.quant import quantize_tree
 
             for mod in ("llm", "vision_backbone", "projector"):
-                params[mod] = quantize_tree(params[mod], min_dim=1024)
+                params[mod] = quantize_tree(params[mod], min_dim=1024,
+                                            bits=4 if quant == "int4" else 8)
         return params
 
     shapes = jax.eval_shape(build)
@@ -49,7 +50,7 @@ def main():
     ap.add_argument("--old", action="store_true",
                     help="full-prefill-per-step path (round-2 baseline)")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--quant", default=None, choices=[None, "int8"])
+    ap.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
     ap.add_argument("--k", type=int, default=8)
     args = ap.parse_args()
 

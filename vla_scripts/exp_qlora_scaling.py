@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--remat", nargs="+", default=["all"],
+                    choices=["all", "dots", "none"],
+                    help="remat policies to sweep (train_step.TrainConfig)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -88,64 +91,72 @@ def main():
 
     cfg = _flagship_cfg()
     platform = LIBERO
-    tcfg = TrainConfig(objective="l1", lora_rank=32, lora_alpha=16.0,
-                       learning_rate=5e-4)
-    tx = make_optimizer(tcfg)
-    state = _build_state_shapes(cfg, platform, tcfg)
 
     # ~S after multimodal assembly: prompt(~26) + 512 patches + proprio +
     # chunk+1; the train layout pads the text bucket to 64.
     s_text = 64
 
-    step = jax.jit(
-        lambda st, bt: train_step(st, bt, cfg, platform, tcfg, tx=tx),
-        donate_argnums=(0,))
-
     def sync(x):
         leaf = jax.tree_util.tree_leaves(x)[0]
         return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
 
-    for b in args.batches:
-        batch = _batch(b, s_text, cfg, platform)
-        t0 = time.perf_counter()
-        st2, m = step(state, batch)
-        sync(m)
-        compile_s = time.perf_counter() - t0
-        # steady state: chain K steps, one final sync; subtract RTT
-        st2, m = step(st2, batch)
-        sync(m)
-        rtts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            sync(jnp.zeros(()))
-            rtts.append(time.perf_counter() - t0)
-        rtt = float(np.median(rtts))
-        t0 = time.perf_counter()
-        for _ in range(args.k):
-            st2, m = step(st2, batch)
-        sync(m)
-        ms = (time.perf_counter() - t0 - rtt) / args.k * 1e3
-        # 8N FLOPs/token on the 7B (6.7e9 quantized-effective? use 6.74e9
-        # LLM+ViT matmul params) — keep the round-2 MFU convention:
-        # 8 * params * tokens with tokens = b * ~609.
-        n_par = 6.9e9
-        toks = b * 609
-        mfu = 8 * n_par * toks / (ms / 1e3) / 394e12
-        print(f"b={b}: {ms:8.1f} ms/step  compile {compile_s:5.1f}s  "
-              f"tok/s {toks / (ms / 1e3):7.0f}  MFU~{mfu * 100:4.1f}%",
-              flush=True)
-        del st2, m, batch
+    for policy in args.remat:
+        tcfg = TrainConfig(objective="l1", lora_rank=32, lora_alpha=16.0,
+                           learning_rate=5e-4, remat_policy=policy)
+        tx = make_optimizer(tcfg)
+        state = _build_state_shapes(cfg, platform, tcfg)
 
-        if args.trace:
-            from openvla_oft_tpu.utils.profiling import trace
+        step = jax.jit(
+            lambda st, bt: train_step(st, bt, cfg, platform, tcfg, tx=tx),
+            donate_argnums=(0,))
 
+        for b in args.batches:
             batch = _batch(b, s_text, cfg, platform)
-            stt = _build_state_shapes(cfg, platform, tcfg)
-            with trace(f"/tmp/qlora_trace_b{b}"):
-                stt, m = step(stt, batch)
+            t0 = time.perf_counter()
+            try:
+                st2, m = step(state, batch)
                 sync(m)
-            print(f"trace written to /tmp/qlora_trace_b{b}", flush=True)
-            del stt, m, batch
+            except Exception as e:  # OOM at this (policy, b) — report, move on
+                print(f"remat={policy} b={b}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:160]})", flush=True)
+                del batch
+                continue
+            compile_s = time.perf_counter() - t0
+            # steady state: chain K steps, one final sync; subtract RTT
+            st2, m = step(st2, batch)
+            sync(m)
+            rtts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sync(jnp.zeros(()))
+                rtts.append(time.perf_counter() - t0)
+            rtt = float(np.median(rtts))
+            t0 = time.perf_counter()
+            for _ in range(args.k):
+                st2, m = step(st2, batch)
+            sync(m)
+            ms = (time.perf_counter() - t0 - rtt) / args.k * 1e3
+            # Keep the round-2 MFU convention: 8 * params * tokens (remat
+            # fwd+recompute+bwd) with tokens = b * ~609.
+            n_par = 6.9e9
+            toks = b * 609
+            mfu = 8 * n_par * toks / (ms / 1e3) / 394e12
+            print(f"remat={policy} b={b}: {ms:8.1f} ms/step  "
+                  f"compile {compile_s:5.1f}s  tok/s {toks / (ms / 1e3):7.0f}  "
+                  f"MFU~{mfu * 100:4.1f}%", flush=True)
+            del st2, m, batch
+
+            if args.trace:
+                from openvla_oft_tpu.utils.profiling import trace
+
+                batch = _batch(b, s_text, cfg, platform)
+                stt = _build_state_shapes(cfg, platform, tcfg)
+                with trace(f"/tmp/qlora_trace_{policy}_b{b}"):
+                    stt, m = step(stt, batch)
+                    sync(m)
+                print(f"trace written to /tmp/qlora_trace_{policy}_b{b}",
+                      flush=True)
+                del stt, m, batch
 
 
 if __name__ == "__main__":

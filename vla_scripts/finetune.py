@@ -94,6 +94,9 @@ class FinetuneConfig:
                                                   # (fits 7B LoRA on one 16 GB chip;
                                                   # straight-through bwd, ops/quant.py)
     quantize_base_min_dim: int = 1024             # smallest contraction dim quantized
+    remat_policy: str = "all"                     # "all" | "dots" | "none"
+                                                  # (activation remat; see
+                                                  # training/train_step.py)
     # fmt: on
 
 
@@ -233,7 +236,8 @@ def finetune(cfg: FinetuneConfig) -> dict:
         warmup_steps=cfg.lr_warmup_steps, lora_rank=cfg.lora_rank,
         lora_alpha=float(min(cfg.lora_rank, 16)), use_proprio=cfg.use_proprio,
         use_film=cfg.use_film, num_diffusion_steps=cfg.num_diffusion_steps,
-        grad_accumulation_steps=cfg.grad_accumulation_steps)
+        grad_accumulation_steps=cfg.grad_accumulation_steps,
+        remat_policy=cfg.remat_policy)
 
     # === Mesh + state ===
     mesh = make_mesh(dp=cfg.mesh_dp, fsdp=cfg.mesh_fsdp, tp=cfg.mesh_tp)
