@@ -107,13 +107,27 @@ def int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 INT4_GROUP = 128
 
 
+def _int4_group_for(d_in: int, group: int = INT4_GROUP) -> int:
+    """Largest even divisor of d_in that is <= the requested group size.
+
+    Real dims are rarely all 128-divisible (SigLIP so400m MLP d_in=4304 ->
+    group 16); finer groups only improve accuracy at a little scale storage.
+    Returns 0 when d_in is odd (unpackable two-per-int8 -> caller skips)."""
+    if d_in % 2:
+        return 0
+    g = min(group, d_in)
+    while g > 2 and (d_in % g or g % 2):
+        g -= 1
+    return g
+
+
 def quantize_weight_int4(w: jnp.ndarray, group: int = INT4_GROUP) -> Dict[str, jnp.ndarray]:
     """(..., in, out) float -> packed {"kernel_q4": int8 (..., in/2, out),
-    "scale_w4": f32 (..., in/group, out)}. Requires in % (2*group) == 0... in
-    practice in % group == 0 and group even."""
+    "scale_w4": f32 (..., in/group', out)} with group' adapted to divide
+    d_in (see _int4_group_for). d_in must be even (packing)."""
     *lead, d_in, d_out = w.shape
-    group = min(group, d_in)  # tiny test configs have d_in < the group size
-    assert d_in % group == 0 and group % 2 == 0, (d_in, group)
+    group = _int4_group_for(d_in, group)
+    assert group, f"int4 packing needs even d_in, got {d_in}"
     wf = w.astype(jnp.float32).reshape(*lead, d_in // group, group, d_out)
     absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = absmax / 7.0
@@ -150,8 +164,9 @@ def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def quantize_tree_lowmem(params: Params, min_dim: int = 1024) -> Params:
-    """Int8-quantize leaf by leaf, DONATING each source kernel.
+def quantize_tree_lowmem(params: Params, min_dim: int = 1024,
+                         bits: int = 8) -> Params:
+    """Quantize leaf by leaf, DONATING each source kernel.
 
     The plain `quantize_tree` under jit materializes fp32 intermediates for
     whole stacked (L, in, out) kernels — on a 16 GB chip the 7B tree cannot
@@ -159,17 +174,24 @@ def quantize_tree_lowmem(params: Params, min_dim: int = 1024) -> Params:
     per-layer `lax.map` (one layer of fp32 transient, ~200 MB) with the
     source buffer donated, so peak memory is original + one layer.
 
+    bits=8 -> int8 MXU path; bits=4 -> packed group-wise int4, dequantized
+    to the activation dtype at use (3.7 GB on the 7B — the extra HBM headroom
+    the b>=2 QLoRA configurations need).
+
     CONSUMES `params`: the input tree's quantized kernels are invalidated.
     """
     import functools
 
+    assert bits in (4, 8)
+    qw = quantize_weight if bits == 8 else quantize_weight_int4
+
     @functools.partial(jax.jit, donate_argnums=0)
     def q_stacked(k):
-        return jax.lax.map(quantize_weight, k)
+        return jax.lax.map(qw, k)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def q_flat(k):
-        return quantize_weight(k)
+        return qw(k)
 
     def visit(node, name=""):
         if isinstance(node, dict):
@@ -178,11 +200,16 @@ def quantize_tree_lowmem(params: Params, min_dim: int = 1024) -> Params:
             if "kernel" in node and isinstance(node["kernel"], jnp.ndarray) \
                     and node["kernel"].ndim >= 2 \
                     and node["kernel"].dtype != jnp.int8 \
-                    and node["kernel"].shape[-2] >= min_dim:
+                    and node["kernel"].shape[-2] >= min_dim \
+                    and (bits == 8 or node["kernel"].shape[-2] % 2 == 0):
                 k = node.pop("kernel")
                 q = (q_stacked if k.ndim == 3 else q_flat)(k)
-                node["kernel"] = q["kernel"]
-                node["scale_w"] = q["scale_w"]
+                if bits == 8:
+                    node["kernel"] = q["kernel"]
+                    node["scale_w"] = q["scale_w"]
+                else:
+                    node["kernel_q4"] = q["kernel_q4"]
+                    node["scale_w4"] = q["scale_w4"]
                 return node
             return {key: visit(v, key) for key, v in node.items()}
         if isinstance(node, list):
@@ -214,7 +241,8 @@ def quantize_tree(params: Params, min_dim: int = 1024,
             if "kernel" in node and isinstance(node["kernel"], jnp.ndarray) \
                     and node["kernel"].ndim >= 2 \
                     and node["kernel"].dtype != jnp.int8 \
-                    and node["kernel"].shape[-2] >= min_dim:
+                    and node["kernel"].shape[-2] >= min_dim \
+                    and (bits == 8 or node["kernel"].shape[-2] % 2 == 0):
                 out = dict(node)
                 if bits == 8:
                     q = quantize_weight(node["kernel"])

@@ -133,6 +133,31 @@ def test_finetune_quantize_base(tmp_path):
     assert losses and all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.slow
+def test_finetune_quantize_base_int4(tmp_path):
+    """--quantize_base_bits 4: packed-int4 frozen base (max HBM headroom for
+    b>=2 single-chip runs) trains with finite loss, combined with the dots
+    remat policy it is meant to buy room for."""
+    import json
+
+    from vla_scripts.finetune import FinetuneConfig, finetune
+
+    out = finetune(FinetuneConfig(
+        vla_path="random:tiny", data_root_dir=Path("dummy"),
+        dataset_name="libero_dummy", batch_size=2, max_steps=2,
+        save_freq=100, use_proprio=True, run_root_dir=tmp_path,
+        use_flash_attention=False, wandb_log_freq=100,
+        merge_lora_during_training=False,
+        quantize_base=True, quantize_base_min_dim=1, quantize_base_bits=4,
+        remat_policy="dots"))
+    assert out["final_step"] == 2
+    metrics_files = list(Path(out["run_dir"]).glob("*.jsonl"))
+    rows = [json.loads(line) for line in
+            metrics_files[0].read_text().splitlines() if line.strip()]
+    losses = [r["loss"] for r in rows if "loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
+
+
 def test_lr_warmup_matches_reference_formula():
     """Warmup ramps 10%->100% (reference finetune.py:1094-1096), never 0."""
     from openvla_oft_tpu.training.train_step import TrainConfig, lr_schedule

@@ -248,3 +248,48 @@ def test_quantize_tree_excludes_lm_head():
     # int4 likewise must not delete the lm_head kernel
     q4 = quantize_tree(p, min_dim=1, bits=4)
     assert "kernel" in q4["lm_head"] and "kernel_q4" not in q4["lm_head"]
+
+
+def test_quantize_tree_lowmem_int4_matches_and_trains():
+    """bits=4 lowmem variant: (a) identical artifacts to quantize_tree(bits=4),
+    (b) LoRA gradients flow through the int4-frozen base (QLoRA
+    --quantize_base_bits 4)."""
+    import jax
+
+    from openvla_oft_tpu.config import TINY_LLAMA
+    from openvla_oft_tpu.models.llama import init_llama_params, llama_model
+    from openvla_oft_tpu.ops.quant import quantize_tree, quantize_tree_lowmem
+    from openvla_oft_tpu.training.lora import init_lora, inject_lora
+
+    p = init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA, dtype=jnp.float32)
+    q_ref = quantize_tree(p, min_dim=1, bits=4)
+    q_low = quantize_tree_lowmem(
+        jax.tree_util.tree_map(lambda x: x, p), min_dim=1, bits=4)
+    # Same tree structure/dtypes; values may differ by reduction-order ULPs
+    # (vectorized vs per-layer-mapped max), so compare the dequantized
+    # forward instead of raw codes.
+    ref_leaves = jax.tree_util.tree_structure(q_ref)
+    assert ref_leaves == jax.tree_util.tree_structure(q_low)
+    x0 = jax.random.normal(jax.random.PRNGKey(9),
+                           (1, 8, TINY_LLAMA.hidden_size), jnp.float32)
+    y_ref = llama_model(q_ref, TINY_LLAMA, x0)
+    y_low = llama_model(q_low, TINY_LLAMA, x0)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_low),
+                               rtol=1e-4, atol=1e-4)
+    assert q_low["layers"]["attn"]["wq"]["kernel_q4"].dtype == jnp.int8
+    assert "kernel" not in q_low["layers"]["attn"]["wq"]
+
+    base = {"llm": q_low}
+    lora = init_lora(jax.random.PRNGKey(1), {"llm": p}, rank=4)
+    x = jax.random.normal(jax.random.PRNGKey(2),
+                          (1, 8, TINY_LLAMA.hidden_size), jnp.float32)
+
+    def loss(lo):
+        merged = inject_lora(base, lo, rank=4, alpha=4.0)
+        return jnp.sum(jnp.square(
+            llama_model(merged["llm"], TINY_LLAMA, x)))
+
+    g = jax.grad(loss)(lora)
+    norms = [float(jnp.linalg.norm(l)) for l in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(norms)), norms
+    assert max(norms) > 0, norms

@@ -94,6 +94,8 @@ class FinetuneConfig:
                                                   # (fits 7B LoRA on one 16 GB chip;
                                                   # straight-through bwd, ops/quant.py)
     quantize_base_min_dim: int = 1024             # smallest contraction dim quantized
+    quantize_base_bits: int = 8                   # 8 (int8 MXU) | 4 (packed int4,
+                                                  # max HBM headroom for b>=2)
     remat_policy: str = "all"                     # "all" | "dots" | "none"
                                                   # (activation remat; see
                                                   # training/train_step.py)
@@ -224,7 +226,8 @@ def finetune(cfg: FinetuneConfig) -> dict:
 
         for k in ("llm", "vision_backbone", "projector"):
             base[k] = quantize_tree_lowmem(base[k],
-                                           min_dim=cfg.quantize_base_min_dim)
+                                           min_dim=cfg.quantize_base_min_dim,
+                                           bits=cfg.quantize_base_bits)
     for k in ("action_head", "proprio_projector", "noisy_action_projector",
               "film"):
         if k in full and (k != "proprio_projector" or cfg.use_proprio):
