@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _build_state_shapes(cfg, platform, tcfg):
+def _build_state_shapes(cfg, platform, tcfg, bits=8):
     from openvla_oft_tpu.ops.quant import quantize_tree
     from openvla_oft_tpu.policy import init_openvla_params
     from openvla_oft_tpu.training.lora import init_lora
@@ -44,7 +44,7 @@ def _build_state_shapes(cfg, platform, tcfg):
                       "action_head": full["action_head"],
                       "proprio_projector": full["proprio_projector"]}
         for k in base:
-            base[k] = quantize_tree(base[k], min_dim=1024)
+            base[k] = quantize_tree(base[k], min_dim=1024, bits=bits)
         return create_train_state(base, trainables, tcfg, jax.random.PRNGKey(2))
 
     shapes = jax.eval_shape(build)
@@ -81,6 +81,8 @@ def main():
     ap.add_argument("--remat", nargs="+", default=["all"],
                     choices=["all", "dots", "none"],
                     help="remat policies to sweep (train_step.TrainConfig)")
+    ap.add_argument("--bits", type=int, default=8, choices=[8, 4],
+                    help="frozen-base quantization (8=int8 MXU, 4=packed)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -104,7 +106,7 @@ def main():
         tcfg = TrainConfig(objective="l1", lora_rank=32, lora_alpha=16.0,
                            learning_rate=5e-4, remat_policy=policy)
         tx = make_optimizer(tcfg)
-        state = _build_state_shapes(cfg, platform, tcfg)
+        state = _build_state_shapes(cfg, platform, tcfg, bits=args.bits)
 
         step = jax.jit(
             lambda st, bt: train_step(st, bt, cfg, platform, tcfg, tx=tx),
@@ -141,7 +143,7 @@ def main():
             n_par = 6.9e9
             toks = b * 609
             mfu = 8 * n_par * toks / (ms / 1e3) / 394e12
-            print(f"remat={policy} b={b}: {ms:8.1f} ms/step  "
+            print(f"remat={policy} bits={args.bits} b={b}: {ms:8.1f} ms/step  "
                   f"compile {compile_s:5.1f}s  tok/s {toks / (ms / 1e3):7.0f}  "
                   f"MFU~{mfu * 100:4.1f}%", flush=True)
             del st2, m, batch
