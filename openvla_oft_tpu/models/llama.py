@@ -43,12 +43,16 @@ def resolve_remat_policy(name: Optional[str]):
       trades ~2 GB/batch-element of saved activations at LIBERO geometry for
       skipping the forward recompute; the lever for the measured b>=2 MFU
       droop (docs/PERFORMANCE.md "Single-chip 7B training").
+    - "none" is handled by the model entry points (remat skipped entirely);
+      it never reaches this resolver.
     """
     if name is None or name == "all":
         return None
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    raise ValueError(f"Unknown remat policy {name!r} (use 'all'|'dots'|'none')")
+    raise ValueError(
+        f"Unknown remat policy {name!r} (use 'all' or 'dots'; 'none' disables "
+        f"remat at the llama_model/phi_model call sites)")
 
 
 # === Init ===
@@ -278,7 +282,7 @@ def llama_model(
                    bidir_block, key_valid=key_valid, bidir_1d=bidir_1d)
         return y, None
 
-    if remat:
+    if remat and remat_policy != "none":
         body = jax.checkpoint(body, prevent_cse=False,
                               policy=resolve_remat_policy(remat_policy))
 

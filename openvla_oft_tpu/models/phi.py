@@ -134,7 +134,7 @@ def phi_model(
     def body(carry, layer_params):
         return _block(layer_params, cfg, carry, sin, cos, mask, is_causal), None
 
-    if remat:
+    if remat and remat_policy != "none":
         from openvla_oft_tpu.models.llama import resolve_remat_policy
 
         body = jax.checkpoint(body, prevent_cse=False,

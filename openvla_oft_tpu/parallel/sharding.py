@@ -93,6 +93,12 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
 
     def assign(path, leaf):
         ps = _path_str(path)
+        # Packed-int4 kernels ("kernel_q4", shape (.., in/2, out)) shard like
+        # the bf16/int8 kernel they replace — without this the 3.7 GB int4
+        # base would silently replicate per device on fsdp/tp meshes, using
+        # MORE HBM than int8. Their group scales ("scale_w4") stay replicated
+        # like int8's "scale_w" (both are small).
+        ps = re.sub(r"kernel_q4$", "kernel", ps)
         for pattern, spec in _RULES:
             if re.search(pattern, ps):
                 return _fit_spec(spec, leaf.shape, mesh)

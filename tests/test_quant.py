@@ -293,3 +293,27 @@ def test_quantize_tree_lowmem_int4_matches_and_trains():
     norms = [float(jnp.linalg.norm(l)) for l in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(norms)), norms
     assert max(norms) > 0, norms
+
+
+def test_int4_kernels_shard_like_their_base_kernel():
+    """parallel/sharding.py must give packed 'kernel_q4' leaves the SAME
+    partition spec as the kernel they replace — otherwise the int4 frozen
+    base silently replicates per device on fsdp/tp meshes (review finding:
+    int4 would then use MORE per-device HBM than int8)."""
+    import jax
+
+    from openvla_oft_tpu.config import TINY_LLAMA
+    from openvla_oft_tpu.models.llama import init_llama_params
+    from openvla_oft_tpu.parallel.mesh import make_mesh
+    from openvla_oft_tpu.parallel.sharding import param_pspecs
+    from openvla_oft_tpu.ops.quant import quantize_tree
+
+    p = init_llama_params(jax.random.PRNGKey(0), TINY_LLAMA, dtype=jnp.float32)
+    mesh = make_mesh(dp=1, fsdp=2, tp=2)
+    spec_bf16 = param_pspecs(p, mesh)
+    spec_int4 = param_pspecs(quantize_tree(p, min_dim=1, bits=4), mesh)
+
+    for grp, name in (("attn", "wq"), ("mlp", "down")):
+        ref = spec_bf16["layers"][grp][name]["kernel"]
+        got = spec_int4["layers"][grp][name]["kernel_q4"]
+        assert got == ref, (grp, name, got, ref)

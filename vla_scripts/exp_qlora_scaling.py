@@ -106,22 +106,25 @@ def main():
         tcfg = TrainConfig(objective="l1", lora_rank=32, lora_alpha=16.0,
                            learning_rate=5e-4, remat_policy=policy)
         tx = make_optimizer(tcfg)
-        state = _build_state_shapes(cfg, platform, tcfg, bits=args.bits)
 
         step = jax.jit(
             lambda st, bt: train_step(st, bt, cfg, platform, tcfg, tx=tx),
             donate_argnums=(0,))
 
         for b in args.batches:
+            # step() DONATES the state, so it must be rebuilt per (policy, b)
+            # — reusing one state across batch sizes would hit deleted
+            # buffers on the second iteration and after any OOM.
+            state = _build_state_shapes(cfg, platform, tcfg, bits=args.bits)
             batch = _batch(b, s_text, cfg, platform)
             t0 = time.perf_counter()
             try:
                 st2, m = step(state, batch)
                 sync(m)
             except Exception as e:  # OOM at this (policy, b) — report, move on
-                print(f"remat={policy} b={b}: FAILED "
+                print(f"remat={policy} bits={args.bits} b={b}: FAILED "
                       f"({type(e).__name__}: {str(e)[:160]})", flush=True)
-                del batch
+                del batch, state
                 continue
             compile_s = time.perf_counter() - t0
             # steady state: chain K steps, one final sync; subtract RTT
@@ -138,11 +141,14 @@ def main():
                 st2, m = step(st2, batch)
             sync(m)
             ms = (time.perf_counter() - t0 - rtt) / args.k * 1e3
-            # Keep the round-2 MFU convention: 8 * params * tokens (remat
-            # fwd+recompute+bwd) with tokens = b * ~609.
+            # FLOP factor per policy: 'all' recomputes the forward in the
+            # backward (fwd 2N + recompute 2N + dgrad 4N ~ 8N/token, the
+            # round-2 convention); 'dots'/'none' skip the recompute (~6N).
+            # ms/step is the decision metric; MFU is the sanity column.
+            factor = 8 if policy == "all" else 6
             n_par = 6.9e9
             toks = b * 609
-            mfu = 8 * n_par * toks / (ms / 1e3) / 394e12
+            mfu = factor * n_par * toks / (ms / 1e3) / 394e12
             print(f"remat={policy} bits={args.bits} b={b}: {ms:8.1f} ms/step  "
                   f"compile {compile_s:5.1f}s  tok/s {toks / (ms / 1e3):7.0f}  "
                   f"MFU~{mfu * 100:4.1f}%", flush=True)
@@ -152,7 +158,7 @@ def main():
                 from openvla_oft_tpu.utils.profiling import trace
 
                 batch = _batch(b, s_text, cfg, platform)
-                stt = _build_state_shapes(cfg, platform, tcfg)
+                stt = _build_state_shapes(cfg, platform, tcfg, bits=args.bits)
                 with trace(f"/tmp/qlora_trace_{policy}_b{b}"):
                     stt, m = step(stt, batch)
                     sync(m)
