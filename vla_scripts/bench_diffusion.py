@@ -51,17 +51,20 @@ def main():
                     help="full-prefill-per-step path (round-2 baseline)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
+    ap.add_argument("--platform", default="libero",
+                    choices=["libero", "aloha"])
     ap.add_argument("--k", type=int, default=8)
     args = ap.parse_args()
 
     from openvla_oft_tpu.config import OpenVLAConfig
-    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.constants import ALOHA, LIBERO
     from openvla_oft_tpu.policy import OpenVLAPolicy
 
+    # ALOHA recipe: 3 camera views, 25x14 chunk (ALOHA.md:59-84); LIBERO: 2.
+    platform = ALOHA if args.platform == "aloha" else LIBERO
     cfg = OpenVLAConfig(vision_backbone_id="dinosiglip-vit-so-224px",
                         llm_backbone_id="llama2-7b-pure",
-                        num_images_in_input=2)
-    platform = LIBERO
+                        num_images_in_input=3 if args.platform == "aloha" else 2)
     params = _params(cfg, platform, quant=args.quant)
     policy = OpenVLAPolicy(cfg=cfg, platform=platform, params=params,
                            head="diffusion", prompt_bucket=48,
