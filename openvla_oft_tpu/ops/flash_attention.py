@@ -249,3 +249,62 @@ def flash_attention_allheads(
         interpret=interpret,
     )(q, k, v, valid8, bidir8)
     return out[:, :s]
+
+
+def flash_attention_tp(
+    q: jnp.ndarray,                 # (B, S, H, D)
+    k: jnp.ndarray,                 # (B, S, Hkv, D)
+    v: jnp.ndarray,
+    mesh,
+    axis: str = "tp",
+    is_causal: bool = True,
+    key_valid: Optional[jnp.ndarray] = None,   # (B, S) bool
+    bidir_mask: Optional[jnp.ndarray] = None,  # (B, S) bool
+    bidir_block: Optional[Tuple[int, int]] = None,
+    block_q: Optional[int] = None,
+) -> jnp.ndarray:
+    """Tensor-parallel flash attention: `shard_map` over the head axis.
+
+    Heads are fully independent in attention, so each tp shard runs the
+    Pallas kernel on its H/tp (and Hkv/tp) heads with the 1-D masks
+    replicated — numerics identical to the single-shard kernel, zero
+    collectives inside the op (the surrounding wqkv/wo matmuls carry the
+    tp collectives, exactly like the XLA path under GSPMD). Use when the
+    policy is tp-sharded at ALOHA-length geometry where the kernel wins
+    (docs/PERFORMANCE.md "Flash-attention kernel: formal status"); GSPMD
+    treats a bare pallas_call as opaque, so without this wrapper a
+    tp-sharded model would gather the full head dim onto every shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:  # jax >= 0.4.35 exposes it at top level
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    b, s, h, _ = q.shape
+    hkv = k.shape[2]
+    ntp = mesh.shape[axis]
+    assert h % ntp == 0 and hkv % ntp == 0, (h, hkv, ntp)
+
+    # Materialize the static window into the mask OUTSIDE the wrapper so the
+    # inner call cannot rebuild it differently per shard.
+    if bidir_mask is None:
+        bidir_mask = jnp.zeros((b, s), bool)
+        if bidir_block is not None:
+            w0, wl = bidir_block
+            bidir_mask = bidir_mask.at[:, w0:w0 + wl].set(True)
+    if key_valid is None:
+        key_valid = jnp.ones((b, s), bool)
+
+    spec_h = P(None, None, axis, None)
+    spec_m = P(None, None)
+
+    def per_shard(q_, k_, v_, kv_, bd_):
+        return flash_attention(q_, k_, v_, is_causal=is_causal, key_valid=kv_,
+                               bidir_mask=bd_, block_q=block_q)
+
+    fn = shard_map(per_shard, mesh=mesh,
+                   in_specs=(spec_h, spec_h, spec_h, spec_m, spec_m),
+                   out_specs=spec_h, check_vma=False)
+    return fn(q, k, v, key_valid, bidir_mask)

@@ -111,3 +111,41 @@ def test_flash_allheads_gqa(rng):
     ref = attention_xla(q, k, v, is_causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_tp_matches_single_shard(rng):
+    """shard_map tp wrapper: head-sharded kernel == unsharded kernel == XLA
+    dense path (heads are independent; masks replicate)."""
+    from openvla_oft_tpu.ops.flash_attention import flash_attention_tp
+    from openvla_oft_tpu.parallel.mesh import make_mesh
+
+    q, k, v = _qkv(rng, b=2, s=70, h=4, d=128)
+    key_valid = jnp.ones((2, 70), bool).at[:, 60:].set(False)
+    bidir = jnp.zeros((2, 70), bool).at[:, 40:52].set(True)
+
+    mesh = make_mesh(dp=1, fsdp=1, tp=2)
+    out_tp = flash_attention_tp(q, k, v, mesh, is_causal=True,
+                                key_valid=key_valid, bidir_mask=bidir)
+    out_one = flash_attention(q, k, v, is_causal=True, key_valid=key_valid,
+                              bidir_mask=bidir)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_one),
+                               rtol=1e-5, atol=1e-5)
+    ref = attention_xla(q, k, v,
+                        mask=_dense_from_1d(key_valid, bidir, 70))
+    np.testing.assert_allclose(np.asarray(out_tp)[:, :60],
+                               np.asarray(ref)[:, :60], rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_tp_static_window_and_gqa(rng):
+    """bidir_block is materialized outside the shard_map (per-shard rebuild
+    would be identical, but the contract is one mask); GQA kv heads shard."""
+    from openvla_oft_tpu.ops.flash_attention import flash_attention_tp
+    from openvla_oft_tpu.parallel.mesh import make_mesh
+
+    q, k, v = _qkv(rng, b=1, s=64, h=8, d=128, hkv=4)
+    mesh = make_mesh(dp=1, fsdp=1, tp=4)
+    out_tp = flash_attention_tp(q, k, v, mesh, is_causal=True,
+                                bidir_block=(30, 10))
+    out_one = flash_attention(q, k, v, is_causal=True, bidir_block=(30, 10))
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_one),
+                               rtol=1e-5, atol=1e-5)
