@@ -168,6 +168,7 @@ def _block(
     bidir_block: Optional[tuple],
     key_valid: Optional[jnp.ndarray] = None,
     bidir_1d: Optional[jnp.ndarray] = None,
+    tp_mesh=None,
 ) -> jnp.ndarray:
     b, s, d = x.shape
     h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -178,7 +179,7 @@ def _block(
     k = apply_rope(k, sin, cos)
     o = attention(q, k, v, mask=mask, is_causal=is_causal, use_flash=use_flash,
                   key_valid=key_valid, bidir_mask=bidir_1d,
-                  bidir_block=bidir_block)
+                  bidir_block=bidir_block, tp_mesh=tp_mesh)
     x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
 
     xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
@@ -226,6 +227,7 @@ def llama_model(
     attn_mask: Optional[jnp.ndarray] = None,
     unroll: int = 1,
     out_window: Optional[Tuple[int, int]] = None,
+    tp_mesh=None,
 ) -> jnp.ndarray:
     """Run the decoder stack; returns post-final-norm hidden states (B, S, D).
 
@@ -279,7 +281,8 @@ def llama_model(
 
     def body(carry, layer_params):
         y = _block(layer_params, cfg, carry, sin, cos, mask, is_causal, use_flash,
-                   bidir_block, key_valid=key_valid, bidir_1d=bidir_1d)
+                   bidir_block, key_valid=key_valid, bidir_1d=bidir_1d,
+                   tp_mesh=tp_mesh)
         return y, None
 
     if remat and remat_policy != "none":

@@ -347,6 +347,7 @@ def predict_action_hidden(
     use_flash="auto",
     compute_logits: bool = False,
     precomputed_patches: Optional[jnp.ndarray] = None,
+    tp_mesh=None,
 ) -> PredictOutput:
     """One prefill with parallel decoding; returns action-slot hidden states.
 
@@ -355,6 +356,9 @@ def predict_action_hidden(
     sequence is long enough for it to beat XLA fused attention (measured
     crossover ~1k tokens on v5e: ALOHA geometry 121.7 ms flash vs 150.1 ms
     XLA; LIBERO geometry slightly favors XLA).
+    tp_mesh: pass the Mesh when serving tp-sharded so the flash path (if it
+    engages) shard_maps over heads instead of running a GSPMD-opaque
+    pallas_call (ops/attention.py).
     """
     b, p_len = input_ids.shape
     chunk = platform.chunk_len
@@ -415,7 +419,8 @@ def predict_action_hidden(
                                   positions=positions, padding_mask=key_valid,
                                   bidir_mask=bidir, use_flash=use_flash,
                                   bidir_block=window,
-                                  out_window=(start, chunk))
+                                  out_window=(start, chunk),
+                                  tp_mesh=tp_mesh)
 
     action_logits = None
     if compute_logits:

@@ -70,13 +70,31 @@ def attention(
     key_valid: Optional[jnp.ndarray] = None,   # (B, T) bool
     bidir_mask: Optional[jnp.ndarray] = None,  # (B, S) bool
     bidir_block: Optional[tuple] = None,       # static (start, len)
+    tp_mesh=None,                              # Mesh with a "tp" axis
 ) -> jnp.ndarray:
     """Dispatch between the XLA path (arbitrary `mask`) and the Pallas flash
     kernel (masking expressed via the 1D `key_valid`/`bidir_mask` vectors —
-    causal + padding + block-bidirectional, never materializing (S, S))."""
-    if use_flash and mask is None:
-        from openvla_oft_tpu.ops.flash_attention import flash_attention
+    causal + padding + block-bidirectional, never materializing (S, S)).
 
+    tp_mesh: when the surrounding program is tp-sharded and the flash path
+    engages, route through `flash_attention_tp` (shard_map over heads) —
+    GSPMD treats a bare pallas_call as opaque and would gather the full
+    head dim onto every shard. Ignored on the XLA path (GSPMD partitions
+    plain einsums fine) and when heads don't divide the tp axis.
+    """
+    if use_flash and mask is None:
+        from openvla_oft_tpu.ops.flash_attention import (
+            flash_attention,
+            flash_attention_tp,
+        )
+
+        if tp_mesh is not None and tp_mesh.shape.get("tp", 1) > 1 \
+                and q.shape[2] % tp_mesh.shape["tp"] == 0 \
+                and k.shape[2] % tp_mesh.shape["tp"] == 0:
+            return flash_attention_tp(q, k, v, tp_mesh, is_causal=is_causal,
+                                      key_valid=key_valid,
+                                      bidir_mask=bidir_mask,
+                                      bidir_block=bidir_block)
         return flash_attention(q, k, v, is_causal=is_causal, key_valid=key_valid,
                                bidir_mask=bidir_mask, bidir_block=bidir_block)
     if bidir_mask is None and bidir_block is not None:

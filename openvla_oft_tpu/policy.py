@@ -122,6 +122,7 @@ def serve_action_chunk(
     use_flash="auto",
     center_crop: bool = True,
     resize_size: int = 224,
+    tp_mesh=None,
 ) -> jnp.ndarray:
     """The WHOLE serving hot path as one jittable program: uint8 camera frames
     -> fused device preprocessing (lanczos resize -> 0.9 center crop ->
@@ -161,7 +162,8 @@ def serve_action_chunk(
 
     out = predict_action_hidden(params, cfg, platform, input_ids=input_ids,
                                 prompt_mask=prompt_mask, pixels=pixels,
-                                proprio=proprio, use_flash=use_flash)
+                                proprio=proprio, use_flash=use_flash,
+                                tp_mesh=tp_mesh)
     norm = l1_head_predict(params["action_head"],
                            out.actions_hidden.astype(jnp.float32), platform)
     # Device analog of `_unnormalize_actions` (modeling_prismatic.py:772-791).
@@ -188,6 +190,10 @@ class OpenVLAPolicy:
     num_diffusion_steps: int = 50
     num_diffusion_steps_inference: Optional[int] = None
     use_flash: Any = "auto"
+    # Mesh for tp-sharded serving: routes an engaged flash path through
+    # shard_map over heads (ops/attention.py) instead of a GSPMD-opaque
+    # pallas_call. None (default) = single-chip serving.
+    tp_mesh: Any = None
     tokenizer: Any = None
     # Reuse the static [BOS][patches][proprio] prefix K/V across DDIM steps
     # (Llama-family only; Phi-2 falls back to full prefills per step).
@@ -214,7 +220,8 @@ class OpenVLAPolicy:
         out = predict_action_hidden(
             params, self.cfg, self.platform, input_ids=input_ids,
             prompt_mask=prompt_mask, pixels=pixels, proprio=proprio,
-            use_flash=self.use_flash, compute_logits=compute_logits)
+            use_flash=self.use_flash, compute_logits=compute_logits,
+            tp_mesh=self.tp_mesh)
         if self.head == "l1":
             actions = l1_head_predict(params["action_head"],
                                       out.actions_hidden.astype(jnp.float32),
@@ -268,7 +275,8 @@ class OpenVLAPolicy:
                     params, self.cfg, self.platform, input_ids=input_ids,
                     prompt_mask=prompt_mask, pixels=pixels, proprio=proprio,
                     noisy_actions=x_t, diffusion_t_emb=t_emb,
-                    use_flash=self.use_flash, precomputed_patches=patches)
+                    use_flash=self.use_flash, precomputed_patches=patches,
+                    tp_mesh=self.tp_mesh)
                 actions_hidden = out.actions_hidden
             eps = diffusion_predict_noise(
                 params["action_head"], actions_hidden.astype(jnp.float32),
@@ -342,7 +350,7 @@ class OpenVLAPolicy:
         if not hasattr(self, "_serve_jit"):
             self._serve_jit = jax.jit(functools.partial(
                 serve_action_chunk, cfg=self.cfg, platform=self.platform,
-                use_flash=self.use_flash,
+                use_flash=self.use_flash, tp_mesh=self.tp_mesh,
                 resize_size=self.cfg.vision_configs[0].image_size),
                 static_argnames=("center_crop",))
         actions = self._serve_jit(

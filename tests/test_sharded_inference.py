@@ -111,3 +111,33 @@ def test_fused_weights_shard_over_tp():
     assert attn["wqkv"]["kernel"] == P(None, "fsdp", "tp"), attn["wqkv"]
     assert mlp["gate_up"]["kernel"] == P(None, "fsdp", "tp"), mlp["gate_up"]
     assert attn["wo"]["kernel"] == P(None, "tp", "fsdp")
+
+
+def test_flash_tp_mesh_shard_map_route_matches(rng):
+    """predict_action_hidden(tp_mesh=mesh) routes the flash path through
+    flash_attention_tp (shard_map over heads) — result must equal the
+    unsharded flash path and the XLA dense path."""
+    params = init_openvla_params(jax.random.PRNGKey(0), CFG, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((2, 1, 2, h, h, 3)), jnp.float32)
+    ids = np.zeros((2, 12), np.int32)
+    mask = np.zeros((2, 12), np.int32)
+    ids[:, 2] = 1
+    ids[:, 3:12] = 7
+    mask[:, 2:] = 1
+
+    def run(p, px, i, m, flash, tp_mesh=None):
+        return predict_action_hidden(p, CFG, LIBERO, input_ids=i,
+                                     prompt_mask=m, pixels=px, use_flash=flash,
+                                     tp_mesh=tp_mesh).actions_hidden
+
+    ref = np.asarray(run(params, pixels, jnp.asarray(ids), jnp.asarray(mask),
+                         False))
+    mesh = make_mesh(dp=1, fsdp=2, tp=2)   # TINY_LLAMA has 4 heads -> tp=2
+    with mesh:
+        sp = shard_params(params, mesh)
+        out = jax.jit(lambda p, px, i, m: run(p, px, i, m, True,
+                                              tp_mesh=mesh))(
+            sp, pixels, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-4, atol=5e-4)
