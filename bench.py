@@ -88,6 +88,21 @@ def main():
 
     from __graft_entry__ import entry
 
+    # Ad-hoc single-config measurement (e.g. OPENVLA_BENCH_QUANT=int8_vit for
+    # the mixed int8-vision/bf16-LLM point). The driver never sets this; the
+    # default two-config flow below is the contract.
+    forced = os.environ.get("OPENVLA_BENCH_QUANT")
+    if forced:
+        os.environ["OPENVLA_QUANT"] = forced
+        lat, rtt = _measure_with_retry(entry)
+        print(f"# {forced}: {lat*1e3:.1f}ms {1/lat:.1f} chunks/s/chip "
+              f"vs_baseline={A100_CHUNK_LATENCY_S/lat:.2f} rtt={rtt*1e3:.1f}ms",
+              file=sys.stderr)
+        print(json.dumps({"metric": "action_chunk_latency", "value": round(lat, 5),
+                          "unit": "s",
+                          "vs_baseline": round(A100_CHUNK_LATENCY_S / lat, 3)}))
+        return
+
     os.environ.pop("OPENVLA_QUANT", None)
     bf16_lat, rtt = _measure_with_retry(entry)
     print(f"# bf16: {bf16_lat*1e3:.1f}ms {1/bf16_lat:.1f} chunks/s/chip "
