@@ -146,6 +146,7 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
         # RMSNorm folds only for full-precision serving: under int8/int4 the
         # fold scales kernel rows and coarsens per-output-channel quant grids
         # (concat-only fusion is quantization-exact; docs/QUANTIZATION.md).
+        # The mixed int8-vision config keeps the LLM bf16 -> folds stay on.
         params["llm"] = fuse_inference_weights(
             params["llm"],
             fold_norms=not (getattr(cfg, "load_in_8bit", False)
@@ -166,6 +167,16 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
         from openvla_oft_tpu.ops.quant import quantize_tree
 
         params["llm"] = quantize_tree(params["llm"], min_dim=1024, bits=4)
+    elif getattr(cfg, "load_vision_in_8bit", False):
+        # TPU extra (no reference analog): int8 vision + projector, bf16 LLM
+        # — the ViT pair is the low-MFU stage of the bf16 path, so this takes
+        # the int8 MXU win where utilization is worst while keeping full LLM
+        # numerics parity. Same config as OPENVLA_QUANT=int8_vit in bench.
+        from openvla_oft_tpu.ops.quant import quantize_tree_lowmem
+
+        for mod in ("vision_backbone", "projector"):
+            if mod in params:
+                params[mod] = quantize_tree_lowmem(params[mod], min_dim=1024)
 
     tokenizer = _try_tokenizer(ckpt)
     return OpenVLAPolicy(

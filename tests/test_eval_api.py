@@ -162,6 +162,45 @@ def test_get_vla_quantized_flags(exported_ckpt, rng):
     assert "kernel_q4" in q4["layers"]["attn"]["wqkv"]
 
 
+def test_get_vla_vision_only_int8(exported_ckpt, rng):
+    """load_vision_in_8bit: int8 vision+projector, bf16 LLM (the mixed
+    serving config — see docs/QUANTIZATION.md), and predict still runs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from experiments.robot.openvla_utils import (get_processor, get_vla,
+                                                 get_vla_action)
+
+    cfg = _eval_cfg(exported_ckpt)
+    cfg.load_vision_in_8bit = True
+    vla = get_vla(cfg)
+    # LLM untouched (bf16/f32 kernels, folds applied)
+    llm_k = vla.params["llm"]["layers"]["attn"]["wqkv"]["kernel"]
+    assert llm_k.dtype != jnp.int8
+    # the tiny ViT dims are < the 1024 min_dim so nothing actually flips on
+    # the fixture — assert the selection logic directly at a low threshold
+    from openvla_oft_tpu.ops.quant import quantize_tree
+
+    qv = quantize_tree(vla.params["vision_backbone"], min_dim=16, bits=8)
+    kq = next(iter(qv.values()))["layers"]["attn"]["qkv"]["kernel"]
+    assert kq.dtype == jnp.int8
+    # end-to-end predict stays functional through the flag path (proprio
+    # projector injected like the reference's per-module .pt load)
+    from openvla_oft_tpu.models.action_heads import init_l1_head
+    from openvla_oft_tpu.models.projector import init_proprio_projector
+
+    head = init_l1_head(jax.random.PRNGKey(3), LIBERO,
+                        llm_dim=vla.cfg.llm_dim, hidden_dim=64)
+    pp = init_proprio_projector(jax.random.PRNGKey(4), LIBERO.proprio_dim,
+                                vla.cfg.llm_dim)
+    processor = get_processor(cfg)
+    obs = {"full_image": (rng.random((64, 64, 3)) * 255).astype(np.uint8),
+           "state": rng.random(8).astype(np.float64)}
+    actions = get_vla_action(cfg, vla, processor, obs, "wipe the table",
+                             action_head=head, proprio_projector=pp)
+    assert np.isfinite(np.asarray(actions)).all()
+
+
 def test_libero_noop_filter():
     """is_noop semantics (reference regenerate_libero_dataset.py:46-69):
     near-zero pose delta + unchanged gripper = no-op; gripper toggles while
