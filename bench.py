@@ -93,7 +93,18 @@ def main():
     # default two-config flow below is the contract.
     forced = os.environ.get("OPENVLA_BENCH_QUANT")
     if forced:
-        os.environ["OPENVLA_QUANT"] = forced
+        # Only configs entry() actually implements — anything else would
+        # silently measure an unquantized, joint-ViT-disabled model while
+        # labeling the output with the forced name.
+        valid = ("bf16", "int8", "int8_vit")
+        if forced not in valid:
+            sys.exit(f"OPENVLA_BENCH_QUANT={forced!r}: expected one of "
+                     f"{valid} (bf16 = the headline full-precision config, "
+                     f"joint ViT pair included)")
+        if forced == "bf16":
+            os.environ.pop("OPENVLA_QUANT", None)
+        else:
+            os.environ["OPENVLA_QUANT"] = forced
         lat, rtt = _measure_with_retry(entry)
         print(f"# {forced}: {lat*1e3:.1f}ms {1/lat:.1f} chunks/s/chip "
               f"vs_baseline={A100_CHUNK_LATENCY_S/lat:.2f} rtt={rtt*1e3:.1f}ms",

@@ -142,6 +142,7 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
     # attr for checkpoint-structure round trips.
     if getattr(cfg, "fuse_weights", True):
         from openvla_oft_tpu.models.llama import fuse_inference_weights
+        from openvla_oft_tpu.models.vit import fuse_vit_inference_weights
 
         # RMSNorm folds only for full-precision serving: under int8/int4 the
         # fold scales kernel rows and coarsens per-output-channel quant grids
@@ -151,6 +152,29 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
             params["llm"],
             fold_norms=not (getattr(cfg, "load_in_8bit", False)
                             or getattr(cfg, "load_in_4bit", False)))
+        # ViT epilogue folding, matching the bench configs exactly
+        # (__graft_entry__._cheap_params): LN affine -> qkv/fc1 only when the
+        # vision stays full-precision; LayerScale -> proj/fc2 always
+        # (quantization-exact). Without this, a deployment would run an
+        # unfused, slower ViT than the one the bench numbers describe.
+        vit_int8 = (getattr(cfg, "load_in_8bit", False)
+                    or getattr(cfg, "load_vision_in_8bit", False))
+        params["vision_backbone"] = {
+            name: fuse_vit_inference_weights(v, fold_norms=not vit_int8)
+            for name, v in params["vision_backbone"].items()}
+        # bf16 serving additionally runs both backbones as ONE G=2 padded
+        # batched-GEMM program (models/vit_joint.py) — the bench bf16
+        # headline config. FiLM needs per-block modulation (unsupported in
+        # the joint layout) and quantized vision takes the int8 per-backbone
+        # path instead.
+        if (not vit_int8 and not getattr(cfg, "load_in_4bit", False)
+                and not getattr(cfg, "use_film", False)
+                and len(params["vision_backbone"]) == 2
+                and getattr(cfg, "joint_vit", True)):
+            from openvla_oft_tpu.models.vit_joint import build_joint_vit_pair
+
+            params["vision_backbone"] = {"joint": build_joint_vit_pair(
+                params["vision_backbone"], model_cfg.vision_configs)}
 
     # Quantized inference (reference load_in_8bit/4bit via bitsandbytes,
     # openvla_utils.py:282-303 — here the TPU int8 MXU / packed-int4 paths).

@@ -112,6 +112,11 @@ def phi_model(
 
     Mask arguments mirror `llama_model` (padding / OFT block-bidirectional /
     explicit 4D) so the VLM layer can dispatch on the config family.
+    `**_ignored` deliberately swallows the llama-only serving knobs
+    (`use_flash`, `bidir_block`, `out_window`, `tp_mesh`): Phi-2 is 2.7B with
+    32×80 heads at S<1k, where the XLA fused attention + explicit 4D mask IS
+    the design (docs/PERFORMANCE.md) — there is no Pallas/flash path here, so
+    a tp-sharded Phi never routes through `flash_attention_tp`.
     """
     b, s, _ = inputs_embeds.shape
     if positions is None:

@@ -409,6 +409,8 @@ def predict_action_hidden(
     from openvla_oft_tpu.config import PhiConfig
 
     if isinstance(cfg.llm, PhiConfig):
+        # phi_model ignores use_flash/out_window/tp_mesh by design (see its
+        # docstring): XLA attention with the explicit 4D mask is the Phi path.
         hidden = _run_llm(params["llm"], cfg.llm, embeds, positions=positions,
                           padding_mask=key_valid, bidir_mask=bidir,
                           use_flash=use_flash, bidir_block=window)

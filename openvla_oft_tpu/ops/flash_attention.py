@@ -279,8 +279,12 @@ def flash_attention_tp(
 
     try:  # jax >= 0.4.35 exposes it at top level
         shard_map = jax.shard_map
+        rep_kw = {"check_vma": False}
     except AttributeError:  # pragma: no cover - older jax
+        # the experimental entry point spells the flag check_rep, not
+        # check_vma — passing the wrong one is a TypeError
         from jax.experimental.shard_map import shard_map
+        rep_kw = {"check_rep": False}
 
     b, s, h, _ = q.shape
     hkv = k.shape[2]
@@ -306,5 +310,5 @@ def flash_attention_tp(
 
     fn = shard_map(per_shard, mesh=mesh,
                    in_specs=(spec_h, spec_h, spec_h, spec_m, spec_m),
-                   out_specs=spec_h, check_vma=False)
+                   out_specs=spec_h, **rep_kw)
     return fn(q, k, v, key_valid, bidir_mask)

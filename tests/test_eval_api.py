@@ -64,6 +64,9 @@ def test_get_vla_and_action_from_exported_checkpoint(exported_ckpt, rng):
     cfg = _eval_cfg(exported_ckpt)
     vla = get_vla(cfg)
     assert vla.norm_stats and "libero_spatial" in vla.norm_stats
+    # full-precision serving matches the bench bf16 headline config: both
+    # backbones rebuilt as the ONE joint padded-GEMM program
+    assert set(vla.params["vision_backbone"]) == {"joint"}
     processor = get_processor(cfg)
     # separately-initialized head + proprio projector injection (the reference
     # loads these from per-module .pt files)
@@ -177,6 +180,12 @@ def test_get_vla_vision_only_int8(exported_ckpt, rng):
     # LLM untouched (bf16/f32 kernels, folds applied)
     llm_k = vla.params["llm"]["layers"]["attn"]["wqkv"]["kernel"]
     assert llm_k.dtype != jnp.int8
+    # ViT fused like the bench int8_vit config: LayerScale folded into
+    # proj/fc2 (gone from the tree), LN affine KEPT (fold_norms=False under
+    # vision quantization — docs/QUANTIZATION.md), per-backbone layout
+    for vb in vla.params["vision_backbone"].values():
+        assert "ls1" not in vb["layers"] and "ls2" not in vb["layers"]
+        assert "scale" in vb["layers"]["norm1"]
     # the tiny ViT dims are < the 1024 min_dim so nothing actually flips on
     # the fixture — assert the selection logic directly at a low threshold
     from openvla_oft_tpu.ops.quant import quantize_tree

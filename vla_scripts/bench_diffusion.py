@@ -32,7 +32,10 @@ def _params(cfg, platform, quant=None):
                                      dtype=jnp.bfloat16, head="diffusion",
                                      with_lm_head=False,
                                      head_dtype=jnp.bfloat16)
-        params["llm"] = fuse_inference_weights(params["llm"])
+        # norm folds only in full precision (docs/QUANTIZATION.md) — keep the
+        # benched config identical to the serving one
+        params["llm"] = fuse_inference_weights(params["llm"],
+                                               fold_norms=quant is None)
         if quant in ("int8", "int4"):
             from openvla_oft_tpu.ops.quant import quantize_tree
 
@@ -53,6 +56,10 @@ def main():
     ap.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
     ap.add_argument("--platform", default="libero",
                     choices=["libero", "aloha"])
+    ap.add_argument("--film", default=None, choices=["on", "off"],
+                    help="FiLM vision modulation. Default: on for aloha "
+                         "(the cited OFT+ recipe trains with --use_film True,"
+                         " ALOHA.md:66), off for libero.")
     ap.add_argument("--k", type=int, default=8)
     args = ap.parse_args()
 
@@ -60,11 +67,15 @@ def main():
     from openvla_oft_tpu.constants import ALOHA, LIBERO
     from openvla_oft_tpu.policy import OpenVLAPolicy
 
-    # ALOHA recipe: 3 camera views, 25x14 chunk (ALOHA.md:59-84); LIBERO: 2.
+    # ALOHA recipe: 3 camera views, 25x14 chunk, FiLM on (ALOHA.md:59-84,
+    # OFT+ --use_film True); LIBERO: 2 views, no FiLM.
     platform = ALOHA if args.platform == "aloha" else LIBERO
+    use_film = ((args.platform == "aloha") if args.film is None
+                else args.film == "on")
     cfg = OpenVLAConfig(vision_backbone_id="dinosiglip-vit-so-224px",
                         llm_backbone_id="llama2-7b-pure",
-                        num_images_in_input=3 if args.platform == "aloha" else 2)
+                        num_images_in_input=3 if args.platform == "aloha" else 2,
+                        use_film=use_film)
     params = _params(cfg, platform, quant=args.quant)
     policy = OpenVLAPolicy(cfg=cfg, platform=platform, params=params,
                            head="diffusion", prompt_bucket=48,
@@ -107,7 +118,9 @@ def main():
     sync(out)
     per_call = (time.perf_counter() - t0 - rtt) / args.k
     gc.collect()
-    mode = ("full-prefill" if args.old else "prefix-kv") + (f"+{args.quant}" if args.quant else "")
+    mode = ("full-prefill" if args.old else "prefix-kv") \
+        + (f"+{args.quant}" if args.quant else "") \
+        + ("+film" if use_film else "")
     print(f"diffusion[{mode}] steps={args.steps}: {per_call*1e3:.1f} ms/chunk "
           f"({per_call/args.steps*1e3:.2f} ms/step, rtt={rtt*1e3:.1f}ms)")
 
