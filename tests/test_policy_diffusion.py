@@ -138,6 +138,65 @@ def test_diffusion_prefix_kv_aloha_geometry(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_diffusion_prefix_kv_with_film(rng):
+    """FiLM + prefix-KV (the benched ALOHA OFT+ config): the language
+    embedding FiLM feeds the ViT is prompt-only, hence loop-invariant — the
+    FiLMed patch block must land in the cached prefix with exact numerics."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    from openvla_oft_tpu.constants import ALOHA
+    from openvla_oft_tpu.models.action_heads import sinusoidal_time_encoding
+    from openvla_oft_tpu.models.prismatic import (
+        build_diffusion_prefix,
+        diffusion_suffix_step,
+        predict_action_hidden,
+    )
+
+    cfg = dc.replace(CFG, num_images_in_input=3, use_film=True)
+    params = init_openvla_params(jax.random.PRNGKey(5), cfg, ALOHA,
+                                 dtype=jnp.float32, head="diffusion",
+                                 use_proprio=False)
+    assert "film" in params
+    h = TINY_DINOV2.image_size
+    pixels = jnp.asarray(rng.random((1, 3, 2, h, h, 3)), jnp.float32)
+    bucket = 16
+    ids = np.zeros((1, bucket), np.int32)
+    mask = np.zeros((1, bucket), np.int32)
+    real = [1] + list(rng.integers(3, 100, 9).tolist()) + [29871]
+    ids[0, bucket - len(real):] = real
+    mask[0, bucket - len(real):] = 1
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    x_t = jnp.asarray(rng.standard_normal(
+        (1, ALOHA.num_actions_chunk, ALOHA.action_dim)), jnp.float32)
+    t_emb = sinusoidal_time_encoding(jnp.asarray([11]), cfg.llm_dim)[:, None, :]
+
+    full = predict_action_hidden(params, cfg, ALOHA, input_ids=ids,
+                                 prompt_mask=mask, pixels=pixels,
+                                 proprio=None, noisy_actions=x_t,
+                                 diffusion_t_emb=t_emb, use_flash=False)
+    prefix = build_diffusion_prefix(params, cfg, ids, mask, pixels, None)
+    fast = diffusion_suffix_step(params, cfg, ALOHA, prefix, t_emb, x_t)
+    np.testing.assert_allclose(np.asarray(fast),
+                               np.asarray(full.actions_hidden),
+                               rtol=1e-4, atol=1e-4)
+
+    # whole scanned loop through the policy (what bench_diffusion
+    # --platform aloha times), FiLM on, prefix-kv vs full prefill
+    pol_kw = dict(cfg=cfg, platform=ALOHA, params=params, head="diffusion",
+                  prompt_bucket=bucket, num_diffusion_steps_inference=3)
+    fast_pol = OpenVLAPolicy(**pol_kw, diffusion_prefix_kv=True)
+    slow_pol = OpenVLAPolicy(**pol_kw, diffusion_prefix_kv=False)
+    key = jax.random.PRNGKey(9)
+    a_fast, _ = fast_pol._predict_jit(params, ids, mask, pixels, None,
+                                      noise_key=key)
+    a_slow, _ = slow_pol._predict_jit(params, ids, mask, pixels, None,
+                                      noise_key=key)
+    np.testing.assert_allclose(np.asarray(a_fast), np.asarray(a_slow),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_libero_eval_helpers(rng):
     from experiments.robot.libero.libero_utils import quat2axisangle
     from experiments.robot.libero.run_libero_eval import (
