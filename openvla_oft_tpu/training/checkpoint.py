@@ -31,17 +31,47 @@ def _ocp():
     return ocp
 
 
-def save_checkpoint(ckpt_dir: str, step: int, tree: Params) -> str:
-    """Save a pytree checkpoint at `{ckpt_dir}/{step}` (sharded-array aware)."""
-    ocp = _ocp()
+# One long-lived checkpointer: Orbax's StandardCheckpointer IS an
+# AsyncCheckpointer — save() stages device arrays (a copy, ~ms) and commits
+# on a background thread. Creating-and-closing one per save (the round-2
+# code) forced every save synchronous via close()'s implicit wait.
+_CKPTR = None
+
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = _ocp().StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(ckpt_dir: str, step: int, tree: Params,
+                    block: bool = True) -> str:
+    """Save a pytree checkpoint at `{ckpt_dir}/{step}` (sharded-array aware).
+
+    block=False overlaps the write with subsequent train steps (the TPU
+    analog of async FSDP saves; a 7B+optimizer state is ~30 GB of HBM->disk
+    the loop need not stall on). Orbax sequences back-to-back saves
+    internally; call `wait_for_checkpoints()` before process exit, reading
+    the files, or pruning checkpoint directories.
+    """
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, tree, force=True)
+    ckptr = _checkpointer()
+    ckptr.save(path, tree, force=True)
+    if block:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async `save_checkpoint(block=False)` has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def restore_checkpoint(ckpt_dir: str, step: int,
                        template: Optional[Params] = None) -> Params:
+    wait_for_checkpoints()  # the step being restored may still be in flight
     ocp = _ocp()
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
     with ocp.StandardCheckpointer() as ckptr:

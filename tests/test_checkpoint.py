@@ -149,6 +149,26 @@ def test_orbax_roundtrip(tmp_path):
     assert restored["nested"]["b"].dtype == jnp.bfloat16
 
 
+def test_orbax_async_save(tmp_path):
+    """block=False returns before the commit; back-to-back async saves
+    sequence; wait_for_checkpoints/restore observe the committed files.
+    (Restore itself waits, so an in-flight save can be restored safely.)"""
+    from openvla_oft_tpu.training.checkpoint import wait_for_checkpoints
+
+    d = str(tmp_path / "ckpts")
+    t1 = {"a": jnp.arange(4096.0), "n": {"b": jnp.ones((32, 32))}}
+    t2 = jax.tree_util.tree_map(lambda x: x + 1.0, t1)
+    save_checkpoint(d, 1, t1, block=False)
+    save_checkpoint(d, 2, t2, block=False)  # overlaps save 1's commit
+    wait_for_checkpoints()
+    assert latest_step(d) == 2
+    r1 = restore_checkpoint(d, 1, template=t1)
+    r2 = restore_checkpoint(d, 2, template=t2)
+    np.testing.assert_array_equal(np.asarray(r1["a"]), np.asarray(t1["a"]))
+    np.testing.assert_array_equal(np.asarray(r2["n"]["b"]),
+                                  np.asarray(t2["n"]["b"]))
+
+
 def test_sharded_safetensors_load(tmp_path):
     """Multi-shard checkpoints (model-00001-of-0000N.safetensors) load."""
     from safetensors.numpy import save_file

@@ -394,12 +394,19 @@ def finetune(cfg: FinetuneConfig) -> dict:
             with `latest` naming under save_latest_checkpoint_only) —
             dataset_statistics.json, per-module `{name}--{N}_checkpoint.pt`,
             and the merged model. Orbax resume state stays in run_dir/ckpt."""
+            # async: the ~30 GB Orbax write overlaps the next train steps;
+            # waited on before pruning, resuming, or process exit
             save_checkpoint(ckpt_dir, grad_step,
                             {"trainables": state.trainables,
-                             "opt_state": state.opt_state})
+                             "opt_state": state.opt_state}, block=False)
             if cfg.save_latest_checkpoint_only:
                 chkpt_dir, label = run_dir, "latest"
-                # keep ONE orbax step dir (prune older ones)
+                # keep ONE orbax step dir (prune older ones; never rmtree
+                # under an in-flight async write)
+                from openvla_oft_tpu.training.checkpoint import (
+                    wait_for_checkpoints)
+
+                wait_for_checkpoints()
                 for d in sorted(os.listdir(ckpt_dir))[:-1]:
                     import shutil
 
@@ -506,6 +513,9 @@ def finetune(cfg: FinetuneConfig) -> dict:
                       f"{grad_step + 1} — resume with --resume True")
                 break
 
+        from openvla_oft_tpu.training.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # async saves must commit before we exit
         guard.__exit__()
         prefetched.close()  # release worker + HBM-pinned buffered batches
         metrics.finalize()
