@@ -174,21 +174,28 @@ def train(cfg: TrainConfig) -> dict:
                                                     scfg, tx=tx))
         sharding = NamedSharding(mesh, P(("dp", "fsdp")))
 
-        for i, batch in enumerate(batch_iterator(dataset, cfg.batch_size,
-                                                 collator)):
+        from openvla_oft_tpu.data.prefetch import DevicePrefetcher
+
+        prefetched = DevicePrefetcher(
+            batch_iterator(dataset, cfg.batch_size, collator),
+            sharding=sharding)
+        for i, batch in enumerate(prefetched):
             if i >= cfg.max_steps:
                 break
-            batch = {k: jax.device_put(v, sharding)
-                     for k, v in batch.items() if k != "dataset_name"}
             state, m = step_fn(state, batch)
             metrics.commit(**{k: float(v) for k, v in m.items()})
             if i % 10 == 0:
                 smoothed = metrics.push(i)
                 overwatch.info(f"[step {i}] loss={smoothed.get('loss', -1):.4f}")
             if (i + 1) % cfg.save_interval == 0 or i + 1 == cfg.max_steps:
+                # async: write overlaps the next steps; waited on below
                 save_checkpoint(os.path.join(run_dir, "ckpt"), i + 1,
                                 {"trainables": state.trainables,
-                                 "opt_state": state.opt_state})
+                                 "opt_state": state.opt_state}, block=False)
+        prefetched.close()  # release worker + HBM-pinned buffered batches
+        from openvla_oft_tpu.training.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
         metrics.finalize()
     return {"final_step": int(state.step), "run_dir": run_dir}
 
