@@ -356,11 +356,15 @@ def get_vla_action(
 
     proprio = None
     if getattr(cfg, "use_proprio", False):
-        unnorm_key = getattr(cfg, "unnorm_key", None) or \
-            next(iter(vla.norm_stats))
-        proprio = normalize_proprio(
-            np.asarray(obs["state"], np.float32),
-            vla.norm_stats[unnorm_key]["proprio"], vla.platform.norm_type)
+        proprio = np.asarray(obs["state"], np.float32)
+        if vla.norm_stats:
+            # stats-less policies (random: smoke checkpoints) pass proprio
+            # through raw, mirroring the un-normalized action path
+            unnorm_key = getattr(cfg, "unnorm_key", None) or \
+                next(iter(vla.norm_stats))
+            proprio = normalize_proprio(
+                proprio, vla.norm_stats[unnorm_key]["proprio"],
+                vla.platform.norm_type)
         obs["state"] = proprio
 
     actions = vla.predict_action(pixels, task_label, proprio=proprio,

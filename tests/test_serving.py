@@ -82,6 +82,35 @@ def test_openvla_server_with_tiny_policy(rng):
         httpd.shutdown()
 
 
+def test_openvla_server_warmup_multi_image_proprio():
+    """Startup warmup compiles the serving program on a synthetic observation
+    matching the configured geometry (wrist cams + proprio state) — the first
+    real client request must not pay the XLA compile."""
+    import sys
+    import time
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from vla_scripts.deploy import DeployConfig, OpenVLAServer
+
+    cfg = DeployConfig(pretrained_checkpoint="random:tiny",
+                       use_l1_regression=True, use_proprio=True,
+                       num_images_in_input=2, num_open_loop_steps=4)
+    server = OpenVLAServer(cfg)  # warmup=True default runs inside __init__
+    # a post-warmup predict with the same geometry reuses the compile cache
+    obs = {"full_image": np.zeros((64, 64, 3), np.uint8),
+           "wrist_image": np.zeros((64, 64, 3), np.uint8),
+           "state": np.zeros(server.vla.platform.proprio_dim, np.float32)}
+    t0 = time.perf_counter()
+    out = server.predict(obs, "stack the blocks")
+    dt = time.perf_counter() - t0
+    assert out.shape[1] == server.vla.platform.action_dim
+    assert np.isfinite(out).all()
+    # generous bound: a fresh tiny-model compile is >5s on this host; a
+    # cached call is well under 2s even contended
+    assert dt < 5.0, f"post-warmup predict took {dt:.1f}s — compile not cached?"
+
+
 def test_json_numpy_edge_dtypes(rng):
     """float16/bool/int64, 0-d scalars, non-contiguous views, and nested
     containers must all survive the wire format (reference clients send

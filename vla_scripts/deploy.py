@@ -43,6 +43,11 @@ class DeployConfig:
     load_in_8bit: bool = False
     load_in_4bit: bool = False
 
+    # Compile the serving program on a synthetic observation BEFORE binding
+    # the port: the first XLA compile is tens of seconds, which would blow
+    # through a robot client's request timeout (the ALOHA loop runs at 25 Hz)
+    warmup: bool = True
+
     seed: int = 7
     # fmt: on
 
@@ -86,6 +91,25 @@ class OpenVLAServer:
         self.processor = get_processor(cfg)
         self._get_vla_action = get_vla_action
         self._server = ActionServer(self.predict)
+        if cfg.warmup:
+            self._warmup()
+
+    def _warmup(self):
+        """One synthetic predict through the exact serving geometry so the
+        XLA compile happens at startup, not on the first client request.
+        Later requests reuse the cache (prompts share the static bucket)."""
+        import time
+
+        import numpy as np
+
+        obs = {"full_image": np.zeros((256, 256, 3), np.uint8)}
+        for i in range(getattr(self.cfg, "num_images_in_input", 1) - 1):
+            obs[f"wrist_image_{i}"] = np.zeros((256, 256, 3), np.uint8)
+        if self.cfg.use_proprio:
+            obs["state"] = np.zeros(self.vla.platform.proprio_dim, np.float32)
+        t0 = time.perf_counter()
+        self.predict(obs, "do the task")
+        print(f"[deploy] warmup compile+run: {time.perf_counter() - t0:.1f}s")
 
     def predict(self, observation, instruction):
         import numpy as np
