@@ -92,6 +92,8 @@ def _patch_block(
     dtype,
     precomputed_patches: Optional[jnp.ndarray] = None,
     vit_unroll: Any = 1,
+    remat: bool = False,
+    remat_policy: Optional[str] = None,
 ) -> jnp.ndarray:
     """Vision features -> projector (+proprio token)(+diffusion-t token).
 
@@ -109,7 +111,7 @@ def _patch_block(
         feats = vision_backbone_forward(
             params["vision_backbone"], cfg, pixels,
             film_params=film, language_embedding=language_embedding,
-            unroll=vit_unroll)
+            unroll=vit_unroll, remat=remat, remat_policy=remat_policy)
         proj = vision_projector(params["projector"], feats).astype(dtype)
     extra = []
     if proprio is not None:
@@ -198,7 +200,8 @@ def prismatic_forward(
             text_embeds, ~all_actions_mask & pad_mask)
 
     patch_embeds = _patch_block(params, cfg, pixels, lang_embedding, proprio,
-                                diffusion_t_emb, dtype)
+                                diffusion_t_emb, dtype, remat=remat,
+                                remat_policy=remat_policy)
     n_patch = patch_embeds.shape[1]
 
     if noisy_actions is not None:

@@ -62,6 +62,8 @@ def vision_backbone_forward(
     film_params: Optional[Params] = None,
     language_embedding: Optional[jnp.ndarray] = None,
     unroll: Any = 1,
+    remat: bool = False,
+    remat_policy: Optional[str] = None,
 ) -> jnp.ndarray:
     """pixels: (B, N, n_backbones, H, W, 3) normalized -> (B, N*256, vision_dim).
 
@@ -108,7 +110,8 @@ def vision_backbone_forward(
             le = jnp.repeat(language_embedding, n, axis=0)  # (B*N, llm_dim)
         u = vcfg.depth - 1 if unroll == "full" else unroll
         f = vit_featurize(params[name], vcfg, imgs, film_params=fp,
-                          language_embedding=le, unroll=u)  # (B*N, 256, width)
+                          language_embedding=le, unroll=u, remat=remat,
+                          remat_policy=remat_policy)  # (B*N, 256, width)
         feats.append(f.reshape(b, n * vcfg.num_patches, vcfg.width))
     # Concat [primary, fused] on the feature dim per image-patch position.
     if len(feats) == 1:

@@ -281,12 +281,20 @@ def vit_featurize(
     film_params: Optional[Params] = None,
     language_embedding: Optional[jnp.ndarray] = None,
     unroll: int = 1,
+    remat: bool = False,
+    remat_policy: Optional[str] = None,
 ) -> jnp.ndarray:
     """(B, H, W, 3) normalized pixels -> (B, num_patches, width) features.
 
     Returns the *second-to-last* block's patch tokens (prefix stripped, no
     final norm) — the OpenVLA tap. With `film_params` + `language_embedding`
     (B, llm_dim), applies FiLM modulation in every block.
+
+    remat: checkpoint each scanned block like the Llama body (llama_model).
+    Training gradients flow through the ViT (LoRA targets its kernels), so
+    without this every block's attention probs + MLP intermediates stay live
+    for the backward — measured ~3.5 GB of HLO temps at batch 2 LIBERO
+    geometry, the difference between fitting and OOMing one v5e chip.
     """
     b = images.shape[0]
     x = vit_frontend(params, cfg, images)
@@ -308,11 +316,18 @@ def vit_featurize(
     if film_all is None:
         def body(carry, lp):
             return _vit_block(lp, cfg, carry, None), None
-        x, _ = jax.lax.scan(body, x, layers, unroll=unroll)
+        xs = layers
     else:
         def body(carry, inputs):
             lp, f = inputs
             return _vit_block(lp, cfg, carry, f), None
-        x, _ = jax.lax.scan(body, x, (layers, film_all[:n_run]), unroll=unroll)
+        xs = (layers, film_all[:n_run])
+
+    if remat and remat_policy != "none":
+        from openvla_oft_tpu.models.llama import resolve_remat_policy
+
+        body = jax.checkpoint(body, prevent_cse=False,
+                              policy=resolve_remat_policy(remat_policy))
+    x, _ = jax.lax.scan(body, x, xs, unroll=unroll)
 
     return x[:, cfg.num_prefix_tokens:]

@@ -123,7 +123,8 @@ def main():
                 sync(m)
             except Exception as e:  # OOM at this (policy, b) — report, move on
                 print(f"remat={policy} bits={args.bits} b={b}: FAILED "
-                      f"({type(e).__name__}: {str(e)[:160]})", flush=True)
+                      f"({type(e).__name__}: {str(e)[:400]}\n"
+                      f"  ...tail: {str(e)[-1800:]})", flush=True)
                 del batch, state
                 continue
             compile_s = time.perf_counter() - t0
