@@ -46,10 +46,13 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
             y = y + p["bias"].astype(jnp.float32)
         y = y.astype(x.dtype)
     if "lora_a" in p:
-        down = jnp.dot(x, p["lora_a"].astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        delta = jnp.dot(down.astype(x.dtype), p["lora_b"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
+        # lora_a is rank-major (…, r, in) — see training/lora.py::init_lora
+        # for the TPU lane-padding rationale. The swapaxes folds into the
+        # dot's dimension numbers (no materialized transpose).
+        down = jnp.matmul(x, jnp.swapaxes(p["lora_a"], -1, -2).astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+        delta = jnp.matmul(down.astype(x.dtype), p["lora_b"].astype(x.dtype),
+                           preferred_element_type=jnp.float32)
         y = (y.astype(jnp.float32) + delta).astype(x.dtype)
     return y
 

@@ -51,10 +51,12 @@ _RULES = [
     (r"fc_in/kernel$", ("fsdp", None)),
     (r"blocks/\d+/fc/kernel$", ("fsdp", None)),
     (r"fc_out/kernel$", ("fsdp", None)),
-    # LoRA factors follow the base layer's output axis.
-    (r"lora/.*/(wq|wk|wv|gate|up|fc1|qkv)/a$", ("fsdp", None)),
+    # LoRA factors follow the base layer's output axis. A is rank-major
+    # (r, in) — see training/lora.py::init_lora — so its shardable (input)
+    # dim is the SECOND of the trailing pair.
+    (r"lora/.*/(wq|wk|wv|gate|up|fc1|qkv)/a$", (None, "fsdp")),
     (r"lora/.*/(wq|wk|wv|gate|up|fc1|qkv)/b$", (None, "tp")),
-    (r"lora/.*/(wo|down|fc2|proj)/a$", ("tp", None)),
+    (r"lora/.*/(wo|down|fc2|proj)/a$", (None, "tp")),
     (r"lora/.*/(wo|down|fc2|proj)/b$", (None, "fsdp")),
 ]
 

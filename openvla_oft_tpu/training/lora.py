@@ -55,8 +55,16 @@ def init_lora(key, params: Params, rank: int = 32,
     """Build {path: {"a", "b"}} factors for every matched kernel.
 
     Gaussian init (peft `init_lora_weights="gaussian"`): A ~ N(0, 1/r), B = 0.
-    Kernels may carry a leading stacked-layer axis: (L, in, out) -> A (L, in, r),
-    B (L, r, out).
+    Kernels may carry a leading stacked-layer axis: (L, in, out) ->
+    A (L, r, in), B (L, r, out).
+
+    A is stored RANK-MAJOR — (r, in), peft's `lora_A.weight` convention —
+    not (in, r): TPU HBM tiles the trailing two dims to (8, 128), so an
+    (in, 32) minor dim pads 32->128 lanes (4x bytes). At 7B/r=32 the
+    in-minor layout wastes 1.65 GiB across the fp32 A factors + Adam m/v —
+    ~10% of a v5e chip — and showed up as 4x-expansion `remat_uncompressed`
+    copies in OOM dumps. Rank-major puts the wide dim minor; B is already
+    (r, out) and pads only sublanes (8-row, free at r=32).
     """
     leaves = []
 
@@ -72,7 +80,7 @@ def init_lora(key, params: Params, rank: int = 32,
     keys = jax.random.split(key, max(len(leaves), 1))
     for (ps, shape), k in zip(leaves, keys):
         *lead, d_in, d_out = shape
-        a = (jax.random.normal(k, (*lead, d_in, rank), jnp.float32) / rank).astype(dtype)
+        a = (jax.random.normal(k, (*lead, rank, d_in), jnp.float32) / rank).astype(dtype)
         b = jnp.zeros((*lead, rank, d_out), dtype)
         node = lora
         parts = ps.split("/")[:-1]  # drop "kernel"
@@ -91,7 +99,7 @@ def apply_lora(params: Params, lora: Params, rank: int = 32,
         if isinstance(lora_node, dict) and set(lora_node) == {"a", "b"}:
             w = base_node["kernel"]
             a, b = lora_node["a"], lora_node["b"]
-            delta = jnp.einsum("...ir,...ro->...io", a.astype(jnp.float32),
+            delta = jnp.einsum("...ri,...ro->...io", a.astype(jnp.float32),
                                b.astype(jnp.float32)) * scale
             out = dict(base_node)
             out["kernel"] = (w.astype(jnp.float32) + delta).astype(w.dtype)

@@ -93,6 +93,13 @@ def test_lora_identity_at_init():
     # LoRA covered the LLM linears: 7 sites per stack group
     assert set(lora["llm"]["layers"]["attn"].keys()) == {"wq", "wk", "wv", "wo"}
     assert set(lora["llm"]["layers"]["mlp"].keys()) == {"gate", "up", "down"}
+    # A is rank-major (L, r, in) — peft lora_A convention; the (in, r) layout
+    # lane-pads r=32 -> 128 in TPU HBM tiles, +1.65 GiB across fp32 A + Adam
+    # m/v at 7B (training/lora.py::init_lora). Pin it so it can't flip back.
+    wq = lora["llm"]["layers"]["attn"]["wq"]
+    L, d = CFG.llm.num_layers, CFG.llm.hidden_size
+    assert wq["a"].shape == (L, 4, d), wq["a"].shape
+    assert wq["b"].shape == (L, 4, d), wq["b"].shape
 
 
 @pytest.mark.slow

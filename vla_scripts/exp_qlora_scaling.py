@@ -79,7 +79,7 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--remat", nargs="+", default=["all"],
-                    choices=["all", "dots", "none"],
+                    choices=["all", "dots", "attn_out", "none"],
                     help="remat policies to sweep (train_step.TrainConfig)")
     ap.add_argument("--bits", type=int, default=8, choices=[8, 4],
                     help="frozen-base quantization (8=int8 MXU, 4=packed)")
@@ -146,7 +146,8 @@ def main():
             # backward (fwd 2N + recompute 2N + dgrad 4N ~ 8N/token, the
             # round-2 convention); 'dots'/'none' skip the recompute (~6N).
             # ms/step is the decision metric; MFU is the sanity column.
-            factor = 8 if policy == "all" else 6
+            # 'attn_out' still recomputes the MLPs (~the FLOP bulk): call it 8.
+            factor = 8 if policy in ("all", "attn_out") else 6
             n_par = 6.9e9
             toks = b * 609
             mfu = factor * n_par * toks / (ms / 1e3) / 394e12

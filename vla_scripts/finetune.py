@@ -96,7 +96,7 @@ class FinetuneConfig:
     quantize_base_min_dim: int = 1024             # smallest contraction dim quantized
     quantize_base_bits: int = 8                   # 8 (int8 MXU) | 4 (packed int4,
                                                   # max HBM headroom for b>=2)
-    remat_policy: str = "all"                     # "all" | "dots" | "none"
+    remat_policy: str = "all"                     # "all" | "dots" | "attn_out" | "none"
                                                   # (activation remat; see
                                                   # training/train_step.py)
     # fmt: on
