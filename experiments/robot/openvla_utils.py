@@ -165,27 +165,41 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
         # bf16 serving additionally runs both backbones as ONE G=2 padded
         # batched-GEMM program (models/vit_joint.py) — the bench bf16
         # headline config. FiLM needs per-block modulation (unsupported in
-        # the joint layout) and quantized vision takes the int8 per-backbone
-        # path instead.
-        if (not vit_int8 and not getattr(cfg, "load_in_4bit", False)
+        # the joint layout). int8 vision DEFAULTS to the per-backbone layout
+        # — the joint program measured slower under int8 (38.1 vs 36.2 ms
+        # headline: the pad FLOPs don't pay off at int8's MXU rate;
+        # docs/PERFORMANCE.md) — set joint_vit_int8=True to opt in (built
+        # from the unfolded-norm trees, quantized AFTER the joint build so
+        # the grids match per-backbone).
+        if (not getattr(cfg, "load_in_4bit", False)
                 and not getattr(cfg, "use_film", False)
                 and len(params["vision_backbone"]) == 2
-                and getattr(cfg, "joint_vit", True)):
-            from openvla_oft_tpu.models.vit_joint import build_joint_vit_pair
+                and getattr(cfg, "joint_vit", True)
+                and (not vit_int8 or getattr(cfg, "joint_vit_int8", False))):
+            from openvla_oft_tpu.models.vit_joint import (
+                build_joint_vit_pair,
+                quantize_joint_vit,
+            )
 
-            params["vision_backbone"] = {"joint": build_joint_vit_pair(
-                params["vision_backbone"], model_cfg.vision_configs)}
+            joint = build_joint_vit_pair(params["vision_backbone"],
+                                         model_cfg.vision_configs)
+            if vit_int8:
+                joint = quantize_joint_vit(joint)
+            params["vision_backbone"] = {"joint": joint}
 
     # Quantized inference (reference load_in_8bit/4bit via bitsandbytes,
     # openvla_utils.py:282-303 — here the TPU int8 MXU / packed-int4 paths).
     # int8 quantizes leaf-by-leaf with DONATED source kernels
     # (quantize_tree_lowmem): a real 7B's bf16 tree (~15 GB) and its int8
     # copy cannot coexist in 16 GB HBM — plain quantize_tree would OOM here.
+    vit_joint_q8 = ("joint" in params["vision_backbone"]
+                    and str(params["vision_backbone"]["joint"]["layers"][
+                        "qkv_k"].dtype) == "int8")
     if getattr(cfg, "load_in_8bit", False):
         from openvla_oft_tpu.ops.quant import quantize_tree_lowmem
 
         for mod in ("llm", "vision_backbone", "projector"):
-            if mod in params:
+            if mod in params and not (mod == "vision_backbone" and vit_joint_q8):
                 params[mod] = quantize_tree_lowmem(params[mod], min_dim=1024)
     elif getattr(cfg, "load_in_4bit", False):
         from openvla_oft_tpu.ops.quant import quantize_tree
@@ -199,7 +213,7 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
         from openvla_oft_tpu.ops.quant import quantize_tree_lowmem
 
         for mod in ("vision_backbone", "projector"):
-            if mod in params:
+            if mod in params and not (mod == "vision_backbone" and vit_joint_q8):
                 params[mod] = quantize_tree_lowmem(params[mod], min_dim=1024)
 
     tokenizer = _try_tokenizer(ckpt)

@@ -26,10 +26,16 @@ G=2, padding every dimension up to the larger backbone:
     true width as the divisor and masks padded dims out of the variance, so
     the statistics are exactly the unpadded ones.
 
-Build from FOLDED bf16/fp32 weights only (fuse_vit_inference_weights first;
-quantized or LoRA-carrying trees are rejected) — this is a serving-path
-layout. Numerics match the sequential pair to fp-reassociation tolerance;
-tests/test_vit_joint.py pins parity on a heterogeneous tiny pair.
+Build from float trees through `fuse_vit_inference_weights` (pre-quantized
+or LoRA-carrying trees are rejected) — this is a serving-path layout:
+  - bf16 serving: fold_norms=True trees (no affine keys in the joint tree);
+  - int8 serving: fold_norms=False trees (LN affines stacked per group and
+    applied after the grouped standardization), then `quantize_joint_vit` —
+    the kernels and quantization grids are then IDENTICAL to the
+    per-backbone int8 path, so the calibration evidence transfers.
+Numerics match the sequential pair to fp-reassociation tolerance;
+tests/test_vit_joint.py pins parity on a heterogeneous tiny pair (bf16 and
+int8).
 """
 
 from __future__ import annotations
@@ -83,13 +89,24 @@ def build_joint_vit_pair(
     stacked: Dict[str, List[jnp.ndarray]] = {
         "qkv_k": [], "qkv_b": [], "proj_k": [], "proj_b": [],
         "fc1_k": [], "fc1_b": [], "fc2_k": [], "fc2_b": []}
+    # Norm affines stay UNFOLDED on the int8 serving path (folding scales
+    # kernel rows and coarsens per-output-channel quant grids —
+    # docs/QUANTIZATION.md); when present they are stacked and applied after
+    # the grouped standardization. Both groups must agree (folded vs not).
+    with_affine = ["scale" in params_by_name[n]["layers"]["norm1"]
+                   for n in names]
+    assert with_affine[0] == with_affine[1], \
+        "joint pair needs both groups folded or both unfolded"
+    affine: Dict[str, List[jnp.ndarray]] = {
+        "n1_g": [], "n1_b": [], "n2_g": [], "n2_b": []}
 
     for name, cfg in zip(names, cfgs):
         p = params_by_name[name]
         lay = p["layers"]
-        if "scale" in lay["norm1"] or "ls1" in lay or "ls2" in lay:
-            raise ValueError("build_joint_vit_pair requires folded weights "
-                             "(fuse_vit_inference_weights first)")
+        if "ls1" in lay or "ls2" in lay:
+            raise ValueError("build_joint_vit_pair requires folded "
+                             "LayerScale (fuse_vit_inference_weights first; "
+                             "its LS fold is quantization-exact)")
         for sub in (lay["attn"]["qkv"], lay["attn"]["proj"],
                     lay["mlp"]["fc1"], lay["mlp"]["fc2"]):
             if "kernel" not in sub or sub["kernel"].dtype == jnp.int8 \
@@ -148,8 +165,55 @@ def build_joint_vit_pair(
                          ("fc2_k", f2k), ("fc2_b", f2b)):
             stacked[key].append(val)
 
+        if with_affine[0]:
+            # Zero padding everywhere: padded feature dims AND identity
+            # layers get gamma=beta=0, so the affine output is exactly 0
+            # there — h=0 through zero kernels keeps the identity argument.
+            for key, src, sub in (("n1_g", "norm1", "scale"),
+                                  ("n1_b", "norm1", "bias"),
+                                  ("n2_g", "norm2", "scale"),
+                                  ("n2_b", "norm2", "bias")):
+                v = lay[src][sub][:n_run]
+                affine[key].append(_pad_to(_pad_to(v, 1, dj), 0, lj))
+
     layers = {k: jnp.stack(v, axis=1) for k, v in stacked.items()}  # (Lj,G,..)
+    if with_affine[0]:
+        layers.update({k: jnp.stack(v, axis=1) for k, v in affine.items()})
     return {"front": fronts, "layers": layers}
+
+
+def quantize_joint_vit(joint: Params) -> Params:
+    """int8-quantize the four joint kernel stacks (per layer, group, and
+    output channel — `ops/quant.py::quantize_weight` semantics over the
+    (Lj, G, d_in, d_out) leaves). Zero-padded columns quantize to zeros with
+    scale 0, preserving the padding invariants. Biases/affines stay float.
+
+    Build the joint tree from `fuse_vit_inference_weights(fold_norms=False)`
+    outputs so the quantization grids match the per-backbone int8 path
+    (LN affines unfolded, LayerScale folded)."""
+    from openvla_oft_tpu.ops.quant import quantize_weight
+
+    layers = dict(joint["layers"])
+    for key in ("qkv_k", "proj_k", "fc1_k", "fc2_k"):
+        q = quantize_weight(layers[key])
+        layers[key] = q["kernel"]
+        layers[key[:-2] + "_s"] = q["scale_w"]
+    return {"front": joint["front"], "layers": layers}
+
+
+def _int8_einsum_g(h: jnp.ndarray, kq: jnp.ndarray,
+                   sw: jnp.ndarray) -> jnp.ndarray:
+    """Grouped int8 MXU matmul: h (G, M, d) float, kq (G, d, o) int8,
+    sw (G, o) f32 -> (G, M, o) f32. Dynamic per-token activation quant,
+    int8 x int8 -> int32 dot with G as a batch dim, rank-1 scale dequant
+    (same math as ops/quant.py::_int8_matmul; serving-only, no vjp)."""
+    hf = h.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(hf), axis=-1, keepdims=True) / 127.0
+    qx = jnp.clip(jnp.round(hf / jnp.maximum(sx, 1e-12)), -127, 127
+                  ).astype(jnp.int8)
+    acc = jax.lax.dot_general(qx, kq, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * sw[:, None, :]
 
 
 def _standardize_grouped(x: jnp.ndarray, vd: jnp.ndarray, dmask: jnp.ndarray,
@@ -158,12 +222,13 @@ def _standardize_grouped(x: jnp.ndarray, vd: jnp.ndarray, dmask: jnp.ndarray,
 
     x: (G, M, Dj) with padded dims exactly 0; vd: (G, 1, 1) true widths;
     dmask: (G, 1, Dj) 1.0 on valid dims. Padded entries of the result are
-    nonzero (-mean * rsqrt) but only ever multiply zero kernel rows."""
+    masked back to exactly 0 — they only ever multiply zero kernel rows in
+    bf16, but the int8 path's per-token absmax must not see them."""
     xf = x.astype(jnp.float32)
     mean = jnp.sum(xf, axis=-1, keepdims=True) / vd
     cent = (xf - mean) * dmask
     var = jnp.sum(cent * cent, axis=-1, keepdims=True) / vd
-    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return (cent * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def vit_pair_featurize_joint(
@@ -205,8 +270,22 @@ def vit_pair_featurize_joint(
     acts = [c.act for c in cfgs]
 
     def body(x, lp):
-        h = _standardize_grouped(x, vd, dmask)
-        qkv = jnp.einsum("gmd,gdo->gmo", h, lp["qkv_k"]) + lp["qkv_b"][:, None]
+        int8 = lp["qkv_k"].dtype == jnp.int8
+
+        def mm(h, key, bias):
+            if int8:
+                y = _int8_einsum_g(h, lp[key], lp[key[:-2] + "_s"]) \
+                    + bias.astype(jnp.float32)[:, None]
+                return y.astype(x.dtype)   # bias in f32, like int8_linear
+            return jnp.einsum("gmd,gdo->gmo", h, lp[key]) + bias[:, None]
+
+        def norm(z, which):
+            h = _standardize_grouped(z, vd, dmask)
+            if f"{which}_g" in lp:   # unfolded-affine (int8 serving) layout
+                h = h * lp[f"{which}_g"][:, None] + lp[f"{which}_b"][:, None]
+            return h
+
+        qkv = mm(norm(x, "n1"), "qkv_k", lp["qkv_b"])
         qkv = qkv.reshape(g_n, b, mj, 3, nh, hdj)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         q = q.reshape(g_n * b, mj, nh, hdj)
@@ -214,17 +293,14 @@ def vit_pair_featurize_joint(
         v = v.reshape(g_n * b, mj, nh, hdj)
         o = attention(q, k, v, mask=key_mask)
         o = o.reshape(g_n, b * mj, nh * hdj)
-        x = x + jnp.einsum("gmi,gio->gmo", o, lp["proj_k"]) \
-            + lp["proj_b"][:, None]
-        h = _standardize_grouped(x, vd, dmask)
-        mlp = jnp.einsum("gmd,gdo->gmo", h, lp["fc1_k"]) + lp["fc1_b"][:, None]
+        x = x + mm(o, "proj_k", lp["proj_b"])
+        mlp = mm(norm(x, "n2"), "fc1_k", lp["fc1_b"])
         if acts[0] == acts[1]:
             mlp = _ACTS[acts[0]](mlp)
         else:
             mlp = jnp.concatenate(
                 [_ACTS[a](mlp[g:g + 1]) for g, a in enumerate(acts)], axis=0)
-        return x + jnp.einsum("gmd,gdo->gmo", mlp, lp["fc2_k"]) \
-            + lp["fc2_b"][:, None], None
+        return x + mm(mlp, "fc2_k", lp["fc2_b"]), None
 
     # Fully unrolled: the scanned form costs ~55% extra latency at serving
     # shapes (vla_scripts/exp_vit_ablation.py; same finding as the

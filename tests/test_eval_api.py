@@ -180,19 +180,20 @@ def test_get_vla_vision_only_int8(exported_ckpt, rng):
     # LLM untouched (bf16/f32 kernels, folds applied)
     llm_k = vla.params["llm"]["layers"]["attn"]["wqkv"]["kernel"]
     assert llm_k.dtype != jnp.int8
-    # ViT fused like the bench int8_vit config: LayerScale folded into
-    # proj/fc2 (gone from the tree), LN affine KEPT (fold_norms=False under
-    # vision quantization — docs/QUANTIZATION.md), per-backbone layout
+    # int8 vision DEFAULTS to the per-backbone layout (the joint program
+    # measured slower under int8 — docs/PERFORMANCE.md): LayerScale folded
+    # into proj/fc2, LN affine KEPT (fold_norms=False under vision quant).
     for vb in vla.params["vision_backbone"].values():
         assert "ls1" not in vb["layers"] and "ls2" not in vb["layers"]
         assert "scale" in vb["layers"]["norm1"]
-    # the tiny ViT dims are < the 1024 min_dim so nothing actually flips on
-    # the fixture — assert the selection logic directly at a low threshold
-    from openvla_oft_tpu.ops.quant import quantize_tree
-
-    qv = quantize_tree(vla.params["vision_backbone"], min_dim=16, bits=8)
-    kq = next(iter(qv.values()))["layers"]["attn"]["qkv"]["kernel"]
-    assert kq.dtype == jnp.int8
+    # Opt-in joint-int8 layout: built from the unfolded trees and quantized
+    # AFTER the joint build (models/vit_joint.py docstring).
+    cfg_j = _eval_cfg(exported_ckpt)
+    cfg_j.load_vision_in_8bit = True
+    cfg_j.joint_vit_int8 = True
+    joint = get_vla(cfg_j).params["vision_backbone"]["joint"]["layers"]
+    assert joint["qkv_k"].dtype == jnp.int8
+    assert "qkv_s" in joint and "n1_g" in joint and "n2_b" in joint
     # end-to-end predict stays functional through the flag path (proprio
     # projector injected like the reference's per-module .pt load)
     from openvla_oft_tpu.models.action_heads import init_l1_head

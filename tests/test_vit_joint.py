@@ -157,3 +157,68 @@ def test_joint_through_vision_backbone_forward():
     got = vision_backbone_forward(with_joint, cfg, pixels)
     np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_joint_int8_matches_per_backbone_int8():
+    """int8 serving through the joint program preserves the per-backbone
+    int8 path's quantization exactly where it is deterministic, and its
+    quality where it is not:
+
+    1. the int8 weight GRIDS are bit-identical (per-out-channel absmax is
+       invariant to zero row padding, and the sqrt(hdj/hd) q-column scaling
+       multiplies absmax and weights equally — same integers, scaled scale);
+    2. end-to-end error vs the FLOAT reference is the same magnitude as the
+       per-backbone int8 error (outputs are not bit-equal: the two layouts
+       standardize in different fp orders, so per-token activation round()
+       occasionally lands on the other side of a .5 boundary)."""
+    from openvla_oft_tpu.models.vit_joint import quantize_joint_vit
+    from openvla_oft_tpu.ops.quant import quantize_tree
+
+    cfgs = (TINY_DINOV2, TINY_SIGLIP)
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    unfolded = {}
+    for name, cfg, k in zip(NAMES, cfgs, ks):
+        p = init_vit_params(k, cfg, dtype=jnp.float32)
+        lay = p["layers"]
+        noise = jax.random.split(k, 4)
+        L, d = cfg.depth, cfg.width
+        lay["norm1"]["scale"] = 1.0 + 0.1 * jax.random.normal(noise[0], (L, d))
+        lay["norm1"]["bias"] = 0.1 * jax.random.normal(noise[1], (L, d))
+        lay["norm2"]["scale"] = 1.0 + 0.1 * jax.random.normal(noise[2], (L, d))
+        lay["norm2"]["bias"] = 0.1 * jax.random.normal(noise[3], (L, d))
+        unfolded[name] = fuse_vit_inference_weights(p, fold_norms=False)
+
+    joint = quantize_joint_vit(build_joint_vit_pair(unfolded, cfgs, NAMES))
+    per_backbone = {name: quantize_tree(unfolded[name], min_dim=8)
+                    for name in NAMES}
+
+    # (1) exact grid equality, group 0 (no dim padding on the tiny dino).
+    cfg0 = cfgs[0]
+    n_run = cfg0.depth - 1
+    nh, hd = cfg0.num_heads, cfg0.head_dim
+    hdj = max(c.head_dim for c in cfgs)
+    dj = max(c.width for c in cfgs)
+    jq = np.asarray(joint["layers"]["qkv_k"][:, 0])
+    pq = np.asarray(
+        per_backbone[NAMES[0]]["layers"]["attn"]["qkv"]["kernel"][:n_run])
+    pqr = np.pad(pq.reshape(n_run, cfg0.width, 3, nh, hd),
+                 ((0, jq.shape[0] - n_run), (0, dj - cfg0.width), (0, 0),
+                  (0, 0), (0, hdj - hd))).reshape(jq.shape)
+    np.testing.assert_array_equal(jq, pqr)
+
+    # (2) quantization-quality parity vs the float reference.
+    folded = {n: fuse_vit_inference_weights(unfolded[n], fold_norms=True)
+              for n in NAMES}
+    rng = np.random.default_rng(3)
+    imgs = [jnp.asarray(rng.normal(0, 1, (2, c.image_size, c.image_size, 3)),
+                        jnp.float32) for c in cfgs]
+    ref = [vit_featurize(folded[name], cfg, im)
+           for name, cfg, im in zip(NAMES, cfgs, imgs)]
+    pb = [vit_featurize(per_backbone[name], cfg, im)
+          for name, cfg, im in zip(NAMES, cfgs, imgs)]
+    got = vit_pair_featurize_joint(joint, cfgs, imgs)
+    for r, p_, g in zip(ref, pb, got):
+        assert r.shape == g.shape
+        err_pb = float(jnp.abs(p_ - r).mean())
+        err_joint = float(jnp.abs(g - r).mean())
+        assert err_joint < 2.0 * err_pb + 1e-4, (err_joint, err_pb)

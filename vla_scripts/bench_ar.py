@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _params(cfg, platform):
+def _params(cfg, platform, quant=None):
     from openvla_oft_tpu.models.llama import fuse_inference_weights
     from openvla_oft_tpu.policy import init_openvla_params
 
@@ -36,7 +36,14 @@ def _params(cfg, platform):
         params = init_openvla_params(jax.random.PRNGKey(0), cfg, platform,
                                      dtype=jnp.bfloat16, head=None,
                                      with_lm_head=True)
-        params["llm"] = fuse_inference_weights(params["llm"])
+        # norm folds only in full precision (docs/QUANTIZATION.md)
+        params["llm"] = fuse_inference_weights(params["llm"],
+                                               fold_norms=quant is None)
+        if quant == "int8":
+            from openvla_oft_tpu.ops.quant import quantize_tree
+
+            for mod in ("llm", "vision_backbone", "projector"):
+                params[mod] = quantize_tree(params[mod], min_dim=1024)
         return params
 
     shapes = jax.eval_shape(build)
@@ -72,6 +79,7 @@ def _measure(fn, args, k):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--quant", default=None, choices=[None, "int8"])
     args = ap.parse_args()
 
     from openvla_oft_tpu.config import OpenVLAConfig
@@ -83,7 +91,7 @@ def main():
                         llm_backbone_id="llama2-7b-pure",
                         num_images_in_input=1)
     platform = LIBERO
-    params = _params(cfg, platform)
+    params = _params(cfg, platform, quant=args.quant)
 
     bucket = 48
     ids = np.zeros((1, bucket), np.int32)
@@ -100,8 +108,8 @@ def main():
                                                  num_new_tokens=n)
 
         ms, comp = _measure(fn, (params, ids, mask, pixels), args.k)
-        print(f"{label}: {ms:.1f} ms (compile {comp:.0f}s, "
-              f"{ms / n_new:.2f} ms/token)", flush=True)
+        print(f"{label}[{args.quant or 'bf16'}]: {ms:.1f} ms "
+              f"(compile {comp:.0f}s, {ms / n_new:.2f} ms/token)", flush=True)
 
     print("# compare: OFT parallel-decode 8x7 chunk (2 images) = one "
           "prefill; bf16 58.3 ms / int8 35.2 ms (docs/PERFORMANCE.md)",
