@@ -26,6 +26,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from openvla_oft_tpu.config import ViTConfig
 from openvla_oft_tpu.ops.attention import attention
@@ -222,6 +223,9 @@ def _vit_block(
     qkv = _ln_linear(p["norm1"], p["attn"]["qkv"], x).reshape(b, s, 3, nh, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     o = attention(q, k, v).reshape(b, s, d)
+    # Tag for the "attn_out" remat policy, matching llama._block — without
+    # this the policy silently degenerates to full recompute for the ViT.
+    o = checkpoint_name(o, "attn_out")
     o = linear(p["attn"]["proj"], o)
     if "ls1" in p:
         o = o * p["ls1"]["scale_factor"]

@@ -86,6 +86,20 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def prune_old_steps(ckpt_dir: str) -> None:
+    """Delete every numeric step dir except the newest (save_latest_
+    checkpoint_only). Keys on int(step), NOT lexicographic listdir order:
+    a stale '<step>.orbax-checkpoint-tmp-*' dir left by a hard kill
+    mid-commit would sort above every real step and survive while the real
+    checkpoints got deleted. Callers must wait_for_checkpoints() first —
+    never rmtree under an in-flight async write."""
+    import shutil
+
+    steps = sorted((d for d in os.listdir(ckpt_dir) if d.isdigit()), key=int)
+    for d in steps[:-1]:
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+
+
 # === Reference per-module `.pt` interop ===
 def load_module_pt(path: str) -> Dict[str, np.ndarray]:
     """Load a `{name}--{step}_checkpoint.pt` state dict, DDP prefix stripped

@@ -141,7 +141,37 @@ def inject_lora(params: Params, lora: Params, rank: int = 32,
     return merged
 
 
+def migrate_lora_layout(lora: Params, rank: int) -> Params:
+    """Transpose pre-rank-major LoRA A factors (..., d_in, r) into the
+    current (..., r, d_in) layout (flipped for TPU HBM lane tiling — see
+    `init_lora`). Detection is unambiguous for every supported config: the
+    old layout has `rank` on the trailing axis but not the second-to-last,
+    and every targeted d_in (>=768) exceeds any supported rank. No-op on
+    current-layout trees; safe to call unconditionally."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if set(node) == {"a", "b"} and hasattr(node.get("a"), "shape"):
+                a = node["a"]
+                if (a.ndim >= 2 and a.shape[-1] == rank
+                        and a.shape[-2] != rank):
+                    return {"a": jnp.swapaxes(jnp.asarray(a), -1, -2),
+                            "b": node["b"]}
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            vals = [walk(v) for v in node]
+            return type(node)(*vals) if hasattr(node, "_fields") \
+                else tuple(vals)
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(lora)
+
+
 def merge_lora_into_params(params: Params, lora: Params, rank: int = 32,
                            alpha: float = 16.0) -> Params:
-    """Offline merge (reference `merge_lora_weights_and_save.py:33-73`)."""
-    return apply_lora(params, lora, rank, alpha)
+    """Offline merge (reference `merge_lora_weights_and_save.py:33-73`).
+    Accepts both the current rank-major A layout and pre-flip (in, r)
+    checkpoints (migrated on the fly)."""
+    return apply_lora(params, migrate_lora_layout(lora, rank), rank, alpha)

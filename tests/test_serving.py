@@ -87,7 +87,6 @@ def test_openvla_server_warmup_multi_image_proprio():
     matching the configured geometry (wrist cams + proprio state) — the first
     real client request must not pay the XLA compile."""
     import sys
-    import time
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -101,14 +100,18 @@ def test_openvla_server_warmup_multi_image_proprio():
     obs = {"full_image": np.zeros((64, 64, 3), np.uint8),
            "wrist_image": np.zeros((64, 64, 3), np.uint8),
            "state": np.zeros(server.vla.platform.proprio_dim, np.float32)}
-    t0 = time.perf_counter()
+    # the real property: warmup populated the jit cache for the serving
+    # geometry, so a client request triggers NO new compile (wall-clock
+    # bounds are vacuous on fast hosts and flaky on contended ones)
+    n_compiles_before = server.vla._predict_jit._cache_size()
+    assert n_compiles_before >= 1, "warmup never compiled the predict path"
     out = server.predict(obs, "stack the blocks")
-    dt = time.perf_counter() - t0
     assert out.shape[1] == server.vla.platform.action_dim
     assert np.isfinite(out).all()
-    # generous bound: a fresh tiny-model compile is >5s on this host; a
-    # cached call is well under 2s even contended
-    assert dt < 5.0, f"post-warmup predict took {dt:.1f}s — compile not cached?"
+    n_compiles_after = server.vla._predict_jit._cache_size()
+    assert n_compiles_after == n_compiles_before, \
+        f"client request recompiled ({n_compiles_before} -> " \
+        f"{n_compiles_after} cache entries) — warmup geometry mismatch"
 
 
 def test_json_numpy_edge_dtypes(rng):

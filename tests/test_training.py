@@ -102,6 +102,56 @@ def test_lora_identity_at_init():
     assert wq["b"].shape == (L, 4, d), wq["b"].shape
 
 
+def test_lora_layout_migration_merge_equivalence():
+    """Pre-rank-major checkpoints stored A as (..., in, r); merging must
+    transpose them on the fly and produce bit-identical results to the
+    current layout (training/lora.py::migrate_lora_layout)."""
+    from openvla_oft_tpu.training.lora import (merge_lora_into_params,
+                                               migrate_lora_layout)
+
+    key = jax.random.PRNGKey(0)
+    base = {"llm": init_openvla_params(key, CFG, LIBERO, dtype=jnp.float32,
+                                       head=None)["llm"]}
+    lora = init_lora(jax.random.PRNGKey(1), base, rank=4)
+    # give B nonzero values so the merge actually changes weights
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim else x, lora)
+    old_layout = jax.tree_util.tree_map_with_path(
+        lambda p, x: jnp.swapaxes(x, -1, -2)
+        if str(p[-1].key) == "a" else x, lora)
+    merged_new = merge_lora_into_params(base, lora, rank=4, alpha=4.0)
+    merged_old = merge_lora_into_params(base, old_layout, rank=4, alpha=4.0)
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), merged_new, merged_old)
+    assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+    # migration is a no-op on current-layout trees (idempotent)
+    again = migrate_lora_layout(lora, 4)
+    same = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), lora, again)
+    assert max(jax.tree_util.tree_leaves(same)) == 0.0
+
+
+def test_checkpoint_prune_ignores_orbax_tmp_dirs(tmp_path):
+    """latest-only pruning must key on numeric step dirs: a stale
+    '*.orbax-checkpoint-tmp*' dir from a hard kill sorts lexicographically
+    ABOVE every real step and must not cause the newest real checkpoint to
+    be deleted (training/checkpoint.py::prune_old_steps)."""
+    import os
+
+    from openvla_oft_tpu.training.checkpoint import prune_old_steps
+
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    for d in ("000100", "000200",
+              "000300.orbax-checkpoint-tmp-1699999999"):
+        (ckpt_dir / d).mkdir()
+        (ckpt_dir / d / "data").write_text("x")
+    prune_old_steps(str(ckpt_dir))
+    kept = sorted(os.listdir(ckpt_dir))
+    assert "000200" in kept, "newest real checkpoint must survive"
+    assert "000100" not in kept, "older real checkpoint should be pruned"
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("objective", ["l1", "discrete", "diffusion"])
 def test_loss_decreases(objective):

@@ -15,9 +15,7 @@ Usage: python vla_scripts/bench_ar.py [--k 8]
 """
 
 import argparse
-import gc
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -51,29 +49,7 @@ def _params(cfg, platform, quant=None):
                                   shapes)
 
 
-def _measure(fn, args, k):
-    jfn = jax.jit(fn)
-
-    def sync(x):
-        return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
-
-    t0 = time.perf_counter()
-    sync(jfn(*args))
-    compile_s = time.perf_counter() - t0
-    sync(jfn(*args))
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        sync(jnp.zeros(()))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(k):
-        out = jfn(*args)
-    sync(out)
-    gc.collect()
-    return (time.perf_counter() - t0 - rtt) / k * 1e3, compile_s
+from vla_scripts.bench_timing import measure as _measure
 
 
 def main():

@@ -10,7 +10,6 @@ Usage: python vla_scripts/bench_components.py [--quant int8] [--k 20]
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -21,29 +20,11 @@ import jax
 import jax.numpy as jnp
 
 
+from vla_scripts.bench_timing import measure
+
+
 def _measure(fn, args, k, label):
-    jfn = jax.jit(fn)
-
-    def sync(x):
-        leaf = jax.tree_util.tree_leaves(x)[0]
-        return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
-
-    sync(jfn(*args))
-    sync(jfn(*args))
-    rtts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sync(jnp.zeros(()))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(k):
-        out = jfn(*args)
-    sync(out)
-    ms = (time.perf_counter() - t0 - rtt) / k * 1e3
-    print(f"{label:36s} {ms:8.2f} ms")
-    return ms
+    return measure(fn, args, k, label=label)[0]
 
 
 def main():

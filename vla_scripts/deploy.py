@@ -10,7 +10,7 @@ from __future__ import annotations
 import dataclasses
 import sys
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional, Tuple, Union
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -47,6 +47,11 @@ class DeployConfig:
     # the port: the first XLA compile is tens of seconds, which would blow
     # through a robot client's request timeout (the ALOHA loop runs at 25 Hz)
     warmup: bool = True
+    # Raw camera frame geometry (H, W) for the synthetic warmup observation.
+    # Under device_preprocess the compiled program is shape-specialized to
+    # the RAW frame size, so this must match what clients actually send —
+    # a mismatch means the first real request pays a fresh XLA compile.
+    warmup_image_hw: Tuple[int, int] = (256, 256)
 
     seed: int = 7
     # fmt: on
@@ -102,9 +107,10 @@ class OpenVLAServer:
 
         import numpy as np
 
-        obs = {"full_image": np.zeros((256, 256, 3), np.uint8)}
+        h, w = getattr(self.cfg, "warmup_image_hw", (256, 256))
+        obs = {"full_image": np.zeros((h, w, 3), np.uint8)}
         for i in range(getattr(self.cfg, "num_images_in_input", 1) - 1):
-            obs[f"wrist_image_{i}"] = np.zeros((256, 256, 3), np.uint8)
+            obs[f"wrist_image_{i}"] = np.zeros((h, w, 3), np.uint8)
         if self.cfg.use_proprio:
             obs["state"] = np.zeros(self.vla.platform.proprio_dim, np.float32)
         t0 = time.perf_counter()

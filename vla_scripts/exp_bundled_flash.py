@@ -18,7 +18,6 @@ Usage: python vla_scripts/exp_bundled_flash.py [--s 618 1169] [--k 30]
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -52,26 +51,11 @@ def _dense_mask(key_valid, bidir, s):
     return jnp.asarray(m)
 
 
+from vla_scripts.bench_timing import measure
+
+
 def _time(fn, args, k, label):
-    jfn = jax.jit(fn)
-
-    def sync(x):
-        return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
-
-    sync(jfn(*args))
-    sync(jfn(*args))
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        sync(jnp.zeros(()))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(k):
-        out = jfn(*args)
-    sync(out)
-    ms = (time.perf_counter() - t0 - rtt) / k * 1e3
+    ms, _ = measure(fn, args, k)
     print(f"{label}: {ms:.2f} ms ({ms / LAYERS * 1e3:.1f} us/layer)", flush=True)
     return ms
 

@@ -9,7 +9,6 @@ Usage: python vla_scripts/exp_unroll.py
 """
 
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -20,29 +19,11 @@ import jax
 import jax.numpy as jnp
 
 
+from vla_scripts.bench_timing import measure
+
+
 def _measure(fn, args, k, label):
-    jfn = jax.jit(fn)
-    t0 = time.perf_counter()
-
-    def sync(x):
-        leaf = jax.tree_util.tree_leaves(x)[0]
-        return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
-
-    sync(jfn(*args))
-    compile_s = time.perf_counter() - t0
-    sync(jfn(*args))
-    rtts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sync(jnp.zeros(()))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(k):
-        out = jfn(*args)
-    sync(out)
-    ms = (time.perf_counter() - t0 - rtt) / k * 1e3
+    ms, compile_s = measure(fn, args, k)
     print(f"{label:44s} {ms:8.2f} ms   (compile {compile_s:5.1f} s)",
           flush=True)
     return ms

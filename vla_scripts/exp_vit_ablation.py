@@ -13,7 +13,6 @@ Usage: python vla_scripts/exp_vit_ablation.py [--k 30]
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -24,27 +23,11 @@ import jax
 import jax.numpy as jnp
 
 
+from vla_scripts.bench_timing import measure
+
+
 def _measure(fn, args, k, label):
-    jfn = jax.jit(fn)
-
-    def sync(x):
-        leaf = jax.tree_util.tree_leaves(x)[0]
-        return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
-
-    sync(jfn(*args))
-    sync(jfn(*args))
-    rtts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sync(jnp.zeros(()))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(k):
-        out = jfn(*args)
-    sync(out)
-    ms = (time.perf_counter() - t0 - rtt) / k * 1e3
+    ms, _ = measure(fn, args, k)
     print(f"{label:44s} {ms:8.2f} ms", flush=True)
     return ms
 

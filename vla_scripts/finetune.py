@@ -253,10 +253,27 @@ def finetune(cfg: FinetuneConfig) -> dict:
         if cfg.resume:
             step0 = cfg.resume_step if cfg.resume_step is not None else latest_step(ckpt_dir)
             assert step0 is not None, f"no checkpoint to resume in {ckpt_dir}"
-            restored = restore_checkpoint(
-                ckpt_dir, step0,
-                template={"trainables": state.trainables,
-                          "opt_state": state.opt_state})
+            try:
+                restored = restore_checkpoint(
+                    ckpt_dir, step0,
+                    template={"trainables": state.trainables,
+                              "opt_state": state.opt_state})
+            except Exception as e:
+                # Pre-rank-major checkpoints stored LoRA A as (in, r); the
+                # current layout is (r, in) (training/lora.py::init_lora).
+                # Shape mismatch surfaces here as an Orbax restore error —
+                # turn it into an actionable message instead of a traceback.
+                if "shape" in str(e).lower() or "Shape" in str(e):
+                    raise RuntimeError(
+                        f"resume from {ckpt_dir} step {step0} failed on a "
+                        "shape mismatch. If this run was started before the "
+                        "rank-major LoRA A layout change, the checkpoint "
+                        "holds A factors as (in, r); offline merging still "
+                        "works (merge_lora_weights_and_save.py migrates "
+                        "on load via lora.migrate_lora_layout), but "
+                        "optimizer state cannot be transposed safely — "
+                        "restart fine-tuning or merge and re-init.") from e
+                raise
             # Orbax steps are GRADIENT steps; state.step counts micro-steps.
             micro0 = step0 * max(cfg.grad_accumulation_steps, 1)
             state = TrainState(state.base_params, restored["trainables"],
@@ -404,14 +421,10 @@ def finetune(cfg: FinetuneConfig) -> dict:
                 # keep ONE orbax step dir (prune older ones; never rmtree
                 # under an in-flight async write)
                 from openvla_oft_tpu.training.checkpoint import (
-                    wait_for_checkpoints)
+                    prune_old_steps, wait_for_checkpoints)
 
                 wait_for_checkpoints()
-                for d in sorted(os.listdir(ckpt_dir))[:-1]:
-                    import shutil
-
-                    shutil.rmtree(os.path.join(ckpt_dir, d),
-                                  ignore_errors=True)
+                prune_old_steps(ckpt_dir)
             else:
                 chkpt_dir = f"{run_dir}--{grad_step}_chkpt"
                 label = str(grad_step)
