@@ -162,20 +162,22 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
         params["vision_backbone"] = {
             name: fuse_vit_inference_weights(v, fold_norms=not vit_int8)
             for name, v in params["vision_backbone"].items()}
-        # bf16 serving additionally runs both backbones as ONE G=2 padded
-        # batched-GEMM program (models/vit_joint.py) — the bench bf16
-        # headline config. FiLM needs per-block modulation (unsupported in
-        # the joint layout). int8 vision DEFAULTS to the per-backbone layout
-        # — the joint program measured slower under int8 (38.1 vs 36.2 ms
-        # headline: the pad FLOPs don't pay off at int8's MXU rate;
-        # docs/PERFORMANCE.md) — set joint_vit_int8=True to opt in (built
-        # from the unfolded-norm trees, quantized AFTER the joint build so
-        # the grids match per-backbone).
+        # OPT-IN (set joint_vit=True): both backbones as ONE G=2 padded
+        # batched-GEMM program (models/vit_joint.py). Round-3 measurement
+        # flipped this to opt-in in EVERY dtype: the fully-unrolled
+        # sequential pair beats it (bf16 6.4 vs 9.3 ms standalone, 55.2 vs
+        # 58.3 ms headline; int8 36.2 vs 38.1 ms headline — the 1024->1152
+        # pad FLOPs and grouped-LN masking cost more than the batched GEMM
+        # saves at serving M; docs/PERFORMANCE.md). FiLM needs per-block
+        # modulation (unsupported in the joint layout). int8's opt-in flag is
+        # joint_vit_int8 (built from the unfolded-norm trees, quantized AFTER
+        # the joint build so the grids match per-backbone).
+        want_joint = (getattr(cfg, "joint_vit_int8", False) if vit_int8
+                      else getattr(cfg, "joint_vit", False))
         if (not getattr(cfg, "load_in_4bit", False)
                 and not getattr(cfg, "use_film", False)
                 and len(params["vision_backbone"]) == 2
-                and getattr(cfg, "joint_vit", True)
-                and (not vit_int8 or getattr(cfg, "joint_vit_int8", False))):
+                and want_joint):
             from openvla_oft_tpu.models.vit_joint import (
                 build_joint_vit_pair,
                 quantize_joint_vit,
