@@ -92,7 +92,7 @@ def main():
     from openvla_oft_tpu.models.vit import vit_featurize
 
     cfg = _flagship_cfg()
-    params = _cheap_params(cfg, LIBERO)
+    params = _cheap_params(cfg, LIBERO, modules=("vision_backbone",))
     rng = np.random.default_rng(0)
 
     names = ("featurizer", "fused_featurizer")
@@ -107,17 +107,22 @@ def main():
         _measure(lambda pp, x, vc=vcfg: vit_featurize(pp, vc, x,
                                                       unroll=vc.depth - 1),
                  (p, imgs), args.k, f"{tag} unroll=FULL")
-        _measure(lambda pp, x, vc=vcfg: _ablated_featurize(pp, vc, x, ln=False),
-                 (p, imgs), args.k, f"{tag} no-LN")
-        _measure(lambda pp, x, vc=vcfg: _ablated_featurize(pp, vc, x,
-                                                           attn=False),
-                 (p, imgs), args.k, f"{tag} no-attn")
-        _measure(lambda pp, x, vc=vcfg: _ablated_featurize(pp, vc, x,
-                                                           act=False),
-                 (p, imgs), args.k, f"{tag} no-GELU")
-        _measure(lambda pp, x, vc=vcfg: _ablated_featurize(
-            pp, vc, x, ln=False, attn=False, act=False),
-                 (p, imgs), args.k, f"{tag} matmul-only")
+        # Toggles at BOTH scan and the serving (fully-unrolled) baseline —
+        # the stage that dominates can differ once XLA schedules across
+        # block boundaries.
+        for u, un in ((1, "scan"), (vcfg.depth - 1, "UNROLLED")):
+            _measure(lambda pp, x, vc=vcfg, uu=u: _ablated_featurize(
+                pp, vc, x, ln=False, unroll=uu),
+                     (p, imgs), args.k, f"{tag} no-LN {un}")
+            _measure(lambda pp, x, vc=vcfg, uu=u: _ablated_featurize(
+                pp, vc, x, attn=False, unroll=uu),
+                     (p, imgs), args.k, f"{tag} no-attn {un}")
+            _measure(lambda pp, x, vc=vcfg, uu=u: _ablated_featurize(
+                pp, vc, x, act=False, unroll=uu),
+                     (p, imgs), args.k, f"{tag} no-GELU {un}")
+            _measure(lambda pp, x, vc=vcfg, uu=u: _ablated_featurize(
+                pp, vc, x, ln=False, attn=False, act=False, unroll=uu),
+                     (p, imgs), args.k, f"{tag} matmul-only {un}")
         big = jnp.asarray(rng.normal(0, 1, (8, 224, 224, 3)), jnp.bfloat16)
         b8 = _measure(lambda pp, x, vc=vcfg: vit_featurize(pp, vc, x),
                       (p, big), args.k, f"{tag} BASE batch=8")
