@@ -227,6 +227,11 @@ class OpenVLAConfig:
     n_action_bins: int = N_ACTION_BINS
     num_images_in_input: int = 1
     use_film: bool = False
+    # Serving numerics lever: swap exact erf-GELU (DINOv2 MLPs + vision
+    # projector) for ops/layers.py::gelu_erf_fast — sub-bf16-ulp equivalent
+    # (exhaustively enumerated, tests/test_fast_gelu.py) and ~5x cheaper on
+    # the VPU. Training/parity paths keep the default False.
+    fast_gelu: bool = False
 
     @property
     def vision_configs(self) -> Tuple[ViTConfig, ...]:

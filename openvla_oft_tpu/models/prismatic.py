@@ -107,12 +107,20 @@ def _patch_block(
     if precomputed_patches is not None:
         proj = precomputed_patches.astype(dtype)
     else:
+        # Run the ViT in the model compute dtype. Device preprocessing emits
+        # fp32 pixels; without this cast the whole ViT+projector stays fp32
+        # (the MXU demotes the matmuls to bf16 anyway under default
+        # precision, but every elementwise op and activation round-trip pays
+        # 2x HBM) — and matches the reference's bf16 autocast, which casts
+        # pixel_values at the patch conv.
+        pixels = pixels.astype(dtype)
         film = params.get("film") if cfg.use_film else None
         feats = vision_backbone_forward(
             params["vision_backbone"], cfg, pixels,
             film_params=film, language_embedding=language_embedding,
             unroll=vit_unroll, remat=remat, remat_policy=remat_policy)
-        proj = vision_projector(params["projector"], feats).astype(dtype)
+        proj = vision_projector(params["projector"], feats,
+                                fast_gelu=cfg.fast_gelu).astype(dtype)
     extra = []
     if proprio is not None:
         p_tok = proprio_projector(params["proprio_projector"],

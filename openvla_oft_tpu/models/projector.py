@@ -33,12 +33,21 @@ def init_vision_projector(key, vision_dim: int, llm_dim: int, fused: bool = True
     }
 
 
-def vision_projector(p: Params, patches: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, vision_dim) -> (B, N, llm_dim)."""
-    x = gelu(linear(p["fc1"], patches))
+def vision_projector(p: Params, patches: jnp.ndarray,
+                     fast_gelu: bool = False) -> jnp.ndarray:
+    """(B, N, vision_dim) -> (B, N, llm_dim).
+
+    fast_gelu swaps exact erf-GELU for the sub-bf16-ulp logistic form
+    (ops/layers.py::gelu_erf_fast) on the serving path."""
+    act = gelu
+    if fast_gelu:
+        from openvla_oft_tpu.ops.layers import gelu_erf_fast
+
+        act = gelu_erf_fast
+    x = act(linear(p["fc1"], patches))
     x = linear(p["fc2"], x)
     if "fc3" in p:
-        x = linear(p["fc3"], gelu(x))
+        x = linear(p["fc3"], act(x))
     return x
 
 

@@ -77,6 +77,17 @@ def vision_backbone_forward(
     names = _featurizer_names(cfg)
     assert nb == len(names), f"expected {len(names)} backbone channel groups, got {nb}"
 
+    vision_configs = cfg.vision_configs
+    if cfg.fast_gelu:
+        # Swap exact erf-GELU MLPs (DINOv2) for the sub-bf16-ulp logistic
+        # form (ops/layers.py::gelu_erf_fast); tanh/quick variants are
+        # already exp-based and stay as-is.
+        import dataclasses
+
+        vision_configs = tuple(
+            dataclasses.replace(v, act="gelu_erf_fast") if v.act == "gelu"
+            else v for v in vision_configs)
+
     if "joint" in params:
         # Serving layout: both backbones as ONE G=2 batched-GEMM program
         # (models/vit_joint.py) — built at load by `build_joint_vit_pair`
@@ -94,14 +105,14 @@ def vision_backbone_forward(
 
         imgs = [pixels[:, :, i].reshape(b * n, h, w, 3)
                 for i in range(len(names))]
-        outs = vit_pair_featurize_joint(params["joint"], cfg.vision_configs,
+        outs = vit_pair_featurize_joint(params["joint"], vision_configs,
                                         imgs)
         return jnp.concatenate(
             [f.reshape(b, n * vcfg.num_patches, vcfg.width)
-             for f, vcfg in zip(outs, cfg.vision_configs)], axis=-1)
+             for f, vcfg in zip(outs, vision_configs)], axis=-1)
 
     feats = []
-    for i, (name, vcfg) in enumerate(zip(names, cfg.vision_configs)):
+    for i, (name, vcfg) in enumerate(zip(names, vision_configs)):
         imgs = pixels[:, :, i].reshape(b * n, h, w, 3)
         le = None
         fp = None

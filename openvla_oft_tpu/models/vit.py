@@ -197,7 +197,10 @@ def _ln_linear(norm_p: Params, lin_p: Params, x: jnp.ndarray,
     if _use_fused_ln_matmul(norm_p, lin_p):
         from openvla_oft_tpu.ops.vit_fused import ln_matmul
 
-        return ln_matmul(x, lin_p["kernel"], lin_p.get("bias"), act=act_name)
+        # The Pallas kernel carries its own in-kernel erf; the logistic
+        # fast form only exists as an XLA epilogue.
+        kernel_act = "gelu" if act_name == "gelu_erf_fast" else act_name
+        return ln_matmul(x, lin_p["kernel"], lin_p.get("bias"), act=kernel_act)
     y = linear(lin_p, layer_norm(norm_p, x))
     if act_name is None:
         return y
@@ -207,6 +210,10 @@ def _ln_linear(norm_p: Params, lin_p: Params, x: jnp.ndarray,
         from openvla_oft_tpu.ops.layers import gelu_tanh
 
         return gelu_tanh(y)
+    if act_name == "gelu_erf_fast":
+        from openvla_oft_tpu.ops.layers import gelu_erf_fast
+
+        return gelu_erf_fast(y)
     return gelu(y)
 
 

@@ -48,11 +48,12 @@ import jax.numpy as jnp
 from openvla_oft_tpu.config import ViTConfig
 from openvla_oft_tpu.models.vit import vit_frontend
 from openvla_oft_tpu.ops.attention import attention
-from openvla_oft_tpu.ops.layers import gelu, gelu_tanh, quick_gelu
+from openvla_oft_tpu.ops.layers import gelu, gelu_erf_fast, gelu_tanh, quick_gelu
 
 Params = Dict[str, Any]
 
-_ACTS = {"gelu": gelu, "gelu_tanh": gelu_tanh, "quick_gelu": quick_gelu}
+_ACTS = {"gelu": gelu, "gelu_tanh": gelu_tanh, "quick_gelu": quick_gelu,
+         "gelu_erf_fast": gelu_erf_fast}
 
 
 def _pad_to(a: jnp.ndarray, axis: int, target: int) -> jnp.ndarray:

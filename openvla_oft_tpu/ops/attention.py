@@ -44,6 +44,23 @@ def attention_xla(
         v = jnp.repeat(v, rep, axis=2)
 
     scale = d ** -0.5
+
+    if mask is None and not is_causal:
+        # Maskless bidirectional case (the ViT featurizers): collapse batch
+        # and heads into ONE 3D batched-GEMM dim. At ViT serving shapes
+        # (B*N=2, H=16, S=261, D=64) XLA schedules the (32, S, D) program
+        # measurably better than the 4D bhst form — 0.35 ms off the LIBERO
+        # serving chunk (same math: fp32 softmax, same contractions).
+        qm = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+        km = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        vm = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        logits = jnp.einsum("nsd,ntd->nst", qm, km,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("nst,ntd->nsd", probs.astype(vm.dtype), vm,
+                       preferred_element_type=jnp.float32)
+        return o.reshape(b, h, s, d).transpose(0, 2, 1, 3).astype(q.dtype)
+
     logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
 

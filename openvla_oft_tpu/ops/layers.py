@@ -99,6 +99,66 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+# Odd degrees 1,3,..,15 in u = x/9 approximating logit(Phi(x)); derivation
+# and exhaustive bf16 enumeration: vla_scripts/fit_fast_gelu.py.
+_FAST_GELU_LOGIT_COEFFS = (
+    14.326675442146776,
+    55.601626553079456,
+    -61.74191841860001,
+    52.43234722688412,
+    18.626706769273262,
+    -93.53937487961036,
+    82.68346492258014,
+    -24.763048331986408,
+)
+
+
+def gelu_erf_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU via logistic reparameterization — serving fast path.
+
+    gelu(x) = x * Phi(x) and Phi(x) = sigmoid(logit(Phi(x))); logit(Phi) is
+    odd and smooth, so a degree-15 odd polynomial in u = clip(x)/9 hits
+    |error| <= 1.7e-3 < bf16 half-ulp 2^-9 (fit: vla_scripts/fit_fast_gelu.py).
+    Cost is 8 madds + one hardware exp + div — measured ~5x cheaper than
+    XLA's two-branch fp32 erf polynomial on the v5e VPU (2.94 -> 0.53 ms over
+    the DINOv2 serving activation volume, docs/PERFORMANCE.md).
+
+    bf16 accuracy, enumerated over ALL finite bf16 inputs vs the fp64-rounded
+    golden (tests/test_fast_gelu.py; measured identically on TPU and XLA CPU):
+      - |x| <= 5 with normal input AND output: every disagreement is exactly
+        1 bf16 ulp (649/65280 on-device; 141 under strict fp32 semantics —
+        the delta is backend exp() rounding). Boundary-straddling values
+        flip between ANY two correct fp32 implementations: XLA's own
+        erf-GELU differs from the fp64 golden on 564 of the same grid.
+      - denormal inputs or outputs: flushed to zero, exactly like XLA's
+        erf path on TPU;
+      - 5 < |x| <= 9: 48 values differ, all with |gelu| <= 1.3e-6;
+      - x < -9 (clamped): outputs and goldens are both < 1.2e-18 in magnitude.
+    Unlike x*(1+erf(x/sqrt2))/2 this form has NO cancellation for negative x
+    (fp32 erf-GELU's relative error blows up below x ~ -4), so in the tail it
+    is strictly MORE accurate than the op it replaces. Training keeps `gelu`
+    (bit-matching torch autograd); serving opts in via OpenVLAConfig.fast_gelu.
+    """
+    if x.dtype != jnp.bfloat16:
+        # The sub-ulp equivalence argument is bf16-specific (fit error
+        # 1.7e-3 < bf16 half-ulp but ~15,000 fp32 ulps); wider dtypes keep
+        # the exact erf lowering.
+        return gelu(x)
+    xf = x.astype(jnp.float32)
+    u = jnp.clip(xf, -9.0, 9.0) * jnp.float32(1.0 / 9.0)
+    v = u * u
+    acc = jnp.float32(_FAST_GELU_LOGIT_COEFFS[-1])
+    for c in _FAST_GELU_LOGIT_COEFFS[-2::-1]:
+        acc = acc * v + jnp.float32(c)
+    t = acc * u
+    # Explicit exp form, NOT jax.nn.sigmoid: XLA lowers logistic through its
+    # rational tanh (~5e-5 abs error near |z|~2 — same finding as gelu_tanh's
+    # docstring), which quadruples the boundary-flip count. exp overflow at
+    # very negative t gives 1/inf = 0, exactly the right saturation.
+    sig = 1.0 / (1.0 + jnp.exp(-t))
+    return (xf * sig).astype(x.dtype)
+
+
 def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
     """Tanh-approximated GELU (HF `gelu_new`/`gelu_pytorch_tanh`; SigLIP and
     Phi-2 MLP activation).

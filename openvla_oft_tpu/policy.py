@@ -123,6 +123,7 @@ def serve_action_chunk(
     center_crop: bool = True,
     resize_size: int = 224,
     tp_mesh=None,
+    fast_gelu: bool = True,
 ) -> jnp.ndarray:
     """The WHOLE serving hot path as one jittable program: uint8 camera frames
     -> fused device preprocessing (lanczos resize -> 0.9 center crop ->
@@ -136,6 +137,12 @@ def serve_action_chunk(
     conditioning on CPU; here it rides the same XLA program as the model.
     """
     from openvla_oft_tpu.processing.image_processing import device_preprocess
+
+    if fast_gelu and not cfg.fast_gelu:
+        # Serving default: erf-GELU via the sub-bf16-ulp logistic form
+        # (ops/layers.py::gelu_erf_fast; −1.1 ms on the LIBERO chunk).
+        # Pass fast_gelu=False for bit-matching the exact-erf program.
+        cfg = dataclasses.replace(cfg, fast_gelu=True)
 
     b, n = frames_u8.shape[:2]
     flat = frames_u8.reshape((b * n,) + frames_u8.shape[2:])
@@ -198,8 +205,14 @@ class OpenVLAPolicy:
     # Reuse the static [BOS][patches][proprio] prefix K/V across DDIM steps
     # (Llama-family only; Phi-2 falls back to full prefills per step).
     diffusion_prefix_kv: bool = True
+    # Serving numerics: erf-GELU via the sub-bf16-ulp logistic fast form
+    # (ops/layers.py::gelu_erf_fast, tests/test_fast_gelu.py). False restores
+    # the exact-erf program.
+    fast_gelu: bool = True
 
     def __post_init__(self):
+        if self.fast_gelu and not self.cfg.fast_gelu:
+            self.cfg = dataclasses.replace(self.cfg, fast_gelu=True)
         if self.tokenizer is None:
             # Deterministic stand-in; real deployments load the checkpoint's
             # Llama tokenizer (processing.processor.load_tokenizer).
