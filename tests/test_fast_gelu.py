@@ -133,3 +133,51 @@ def test_backbone_outputs_sub_ulp():
     # 2 bf16 ulps at tensor scale (ulp ~ 2^-8 relative)
     assert np.abs(exact - fast).max() <= 2 * 2.0 ** -8 * scale
     _ = LIBERO  # platform import kept for parity with other tests
+
+
+def test_serving_program_contains_no_erf():
+    """HLO regression guard for the 2.0x bf16 headline: the default serving
+    program (bf16 params, serve_action_chunk fast_gelu default) must lower
+    with ZERO chlo.erf/erfc ops — every erf-GELU (DINOv2 MLPs + projector)
+    goes through the logistic fast form. A reappearing erfc means a code
+    path lost the fast_gelu plumbing (~1 ms regression on the real chip)."""
+    import openvla_oft_tpu.config as C
+    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.policy import init_openvla_params, serve_action_chunk
+
+    C._VISION_REGISTRY.setdefault("tiny-dual", (C.TINY_DINOV2, C.TINY_SIGLIP))
+    C._LLM_REGISTRY.setdefault("tiny-llama", C.TINY_LLAMA)
+    cfg = C.OpenVLAConfig(vision_backbone_id="tiny-dual",
+                          llm_backbone_id="tiny-llama")
+    params = init_openvla_params(jax.random.PRNGKey(0), cfg, LIBERO,
+                                 dtype=jnp.bfloat16, head="l1",
+                                 head_dtype=jnp.bfloat16)
+    size = cfg.vision_configs[0].image_size
+    frames = jnp.zeros((1, 1, size + 12, size + 12, 3), jnp.uint8)
+    ids = jnp.zeros((1, 16), jnp.int32).at[0, -5:].set(
+        jnp.asarray([1, 2, 3, 4, 29871]))
+    mask = jnp.zeros((1, 16), jnp.int32).at[0, -5:].set(1)
+    ad = LIBERO.action_dim
+
+    def f(params, frames, ids, mask):
+        return serve_action_chunk(
+            params, cfg, LIBERO, frames_u8=frames, input_ids=ids,
+            prompt_mask=mask, proprio=None,
+            action_low=jnp.full((ad,), -1.0), action_high=jnp.full((ad,), 1.0),
+            action_mask=jnp.ones((ad,), bool), use_flash=False,
+            resize_size=size)
+
+    txt = jax.jit(f).lower(params, frames, ids, mask).as_text()
+    assert txt.count("chlo.erf") == 0, "erf reappeared in the serving program"
+
+    # and the exact-erf escape hatch still produces them
+    def f_exact(params, frames, ids, mask):
+        return serve_action_chunk(
+            params, cfg, LIBERO, frames_u8=frames, input_ids=ids,
+            prompt_mask=mask, proprio=None,
+            action_low=jnp.full((ad,), -1.0), action_high=jnp.full((ad,), 1.0),
+            action_mask=jnp.ones((ad,), bool), use_flash=False,
+            resize_size=size, fast_gelu=False)
+
+    txt = jax.jit(f_exact).lower(params, frames, ids, mask).as_text()
+    assert txt.count("chlo.erf") > 0
