@@ -221,9 +221,13 @@ def validate(cfg: ParityConfig) -> bool:
     use_proprio = use_proprio and proprio_projector is not None
     print(f"  head={head} proprio={'on' if use_proprio else 'off'}")
 
+    # Exact erf-GELU for the strict real-weight comparison: the serving
+    # default (fast_gelu=True) is sub-bf16-ulp equivalent but parity
+    # validation must isolate model-porting errors from the (documented,
+    # enumerated) fast-GELU rounding deltas.
     policy = OpenVLAPolicy(cfg=model_cfg, platform=platform, params=params,
                            norm_stats=norm_stats, head=head,
-                           tokenizer=tokenizer)
+                           tokenizer=tokenizer, fast_gelu=False)
     eval_cfg = SimpleNamespace(
         num_images_in_input=cfg.num_images_in_input, use_proprio=use_proprio,
         center_crop=cfg.center_crop, unnorm_key=cfg.unnorm_key or None,
