@@ -86,14 +86,58 @@ def _int8_matmul_bwd(res, g):
 _int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
 
 
-def int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Dynamic per-token activation quant + int8 MXU matmul + fused dequant.
+@jax.custom_vjp
+def _int8_matmul_static(x: jnp.ndarray, kernel: jnp.ndarray,
+                        scale_w: jnp.ndarray,
+                        scale_x: jnp.ndarray) -> jnp.ndarray:
+    """Static-scale activation quant: `scale_x` is a calibrated per-layer
+    scalar, so quantizing x is one fused elementwise pass (mul+round+clip) —
+    no per-token absmax reduction between the producer op and the matmul.
+    This is the int8 serving mode's remaining-fat fix: the dynamic machinery
+    (absmax reduce + scale + s8 cast per projection group) measured
+    ~0.15 ms/layer ≈ 4.8 ms per LIBERO chunk (docs/PERFORMANCE.md).
+    Activations beyond the calibrated range saturate at ±127 (standard
+    static-quant semantics). Backward matches `_int8_matmul` (straight-through
+    via the dequantized weight)."""
+    xf = x.astype(jnp.float32)
+    inv = 1.0 / jnp.maximum(scale_x.astype(jnp.float32), 1e-12)
+    qx = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qx, kernel,
+        dimension_numbers=(((qx.ndim - 1,), (kernel.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (scale_x.astype(jnp.float32)
+                                      * scale_w.astype(jnp.float32))
 
+
+def _int8_matmul_static_fwd(x, kernel, scale_w, scale_x):
+    return (_int8_matmul_static(x, kernel, scale_w, scale_x),
+            (kernel, scale_w, jnp.zeros((0,), x.dtype)))
+
+
+def _int8_matmul_static_bwd(res, g):
+    gx, gk, gs = _int8_matmul_bwd(res, g)
+    return (gx, gk, gs, jnp.zeros((), jnp.float32))
+
+
+_int8_matmul_static.defvjp(_int8_matmul_static_fwd, _int8_matmul_static_bwd)
+
+
+def int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Activation quant + int8 MXU matmul + fused dequant.
+
+    Dynamic per-token activation scales by default; a calibrated per-layer
+    "scale_x" in the param dict switches to the static path
+    (`_int8_matmul_static` — attach via `attach_static_act_scales`).
     Supports stacked kernels (L, in, out) with scale_w (L, out).
     Differentiable wrt x (straight-through, see _int8_matmul) — the QLoRA
     training path backprops through int8-frozen bases.
     """
-    y = _int8_matmul(x, p["kernel"], p["scale_w"])
+    if "scale_x" in p:
+        y = _int8_matmul_static(x, p["kernel"], p["scale_w"],
+                                p["scale_x"].reshape(()))
+    else:
+        y = _int8_matmul(x, p["kernel"], p["scale_w"])
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
