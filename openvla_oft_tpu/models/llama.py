@@ -28,7 +28,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from openvla_oft_tpu.config import LlamaConfig
 from openvla_oft_tpu.ops.attention import attention
-from openvla_oft_tpu.ops.layers import init_rms_norm, linear, rms_norm, swiglu
+from openvla_oft_tpu.ops.layers import init_rms_norm, linear, rms_norm
 from openvla_oft_tpu.ops.masks import make_block_bidirectional_mask
 from openvla_oft_tpu.ops.rotary import apply_rope, rope_sin_cos
 
@@ -177,6 +177,7 @@ def _block(
     key_valid: Optional[jnp.ndarray] = None,
     bidir_1d: Optional[jnp.ndarray] = None,
     tp_mesh=None,
+    collect_act_stats: bool = False,
 ) -> jnp.ndarray:
     b, s, d = x.shape
     h, kv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -190,10 +191,31 @@ def _block(
                   bidir_block=bidir_block, tp_mesh=tp_mesh)
     # Tag for the "attn_out" remat policy (no-op under other policies).
     o = checkpoint_name(o, "attn_out")
-    x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
+    o_flat = o.reshape(b, s, h * hd)
+    x = x + linear(p["attn"]["wo"], o_flat)
 
     xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
-    return x + _mlp(p["mlp"], xm)
+    if not collect_act_stats:
+        return x + _mlp(p["mlp"], xm)
+
+    # Static-quant calibration mode: also emit per-linear input absmaxes,
+    # keyed by the same paths the param tree uses so the collected (L,)
+    # stacks attach as "scale_x" leaves directly (ops/quant_calibrate.py::
+    # attach_static_act_scales). Scalars only — no activation tensor leaves
+    # the scan body.
+    y_mlp, down_am = _mlp(p["mlp"], xm, collect_act=True)
+
+    def _am(a):
+        return jnp.max(jnp.abs(a.astype(jnp.float32)))
+
+    am_xa, am_o, am_xm = _am(xa), _am(o_flat), _am(xm)
+    attn_stats = ({"wqkv": am_xa} if "wqkv" in p["attn"]
+                  else {"wq": am_xa, "wk": am_xa, "wv": am_xa})
+    attn_stats["wo"] = am_o
+    mlp_stats = ({"gate_up": am_xm} if "gate_up" in p["mlp"]
+                 else {"gate": am_xm, "up": am_xm})
+    mlp_stats["down"] = down_am
+    return x + y_mlp, {"attn": attn_stats, "mlp": mlp_stats}
 
 
 def _qkv_proj(attn: Params, cfg: LlamaConfig, xa: jnp.ndarray):
@@ -213,14 +235,21 @@ def _qkv_proj(attn: Params, cfg: LlamaConfig, xa: jnp.ndarray):
             linear(attn["wv"], xa).reshape(b, s, kv, hd))
 
 
-def _mlp(mlp: Params, xm: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU MLP, handling the inference-fused gate_up layout."""
+def _mlp(mlp: Params, xm: jnp.ndarray, collect_act: bool = False):
+    """SwiGLU MLP, handling the inference-fused gate_up layout.
+
+    collect_act: also return absmax of the down-projection's input (the silu
+    gate product — the one linear input not visible from _block)."""
     if "gate_up" in mlp:
         gu = linear(mlp["gate_up"], xm)
         inter = gu.shape[-1] // 2
-        return linear(mlp["down"],
-                      jax.nn.silu(gu[..., :inter]) * gu[..., inter:])
-    return swiglu(mlp, xm)
+        act = jax.nn.silu(gu[..., :inter]) * gu[..., inter:]
+    else:
+        act = jax.nn.silu(linear(mlp["gate"], xm)) * linear(mlp["up"], xm)
+    y = linear(mlp["down"], act)
+    if collect_act:
+        return y, jnp.max(jnp.abs(act.astype(jnp.float32)))
+    return y
 
 
 def llama_model(
@@ -238,6 +267,7 @@ def llama_model(
     unroll: int = 1,
     out_window: Optional[Tuple[int, int]] = None,
     tp_mesh=None,
+    collect_act_stats: bool = False,
 ) -> jnp.ndarray:
     """Run the decoder stack; returns post-final-norm hidden states (B, S, D).
 
@@ -288,6 +318,22 @@ def llama_model(
         is_causal = True
 
     x = inputs_embeds
+
+    if collect_act_stats:
+        # Calibration mode (ops/quant_calibrate.py::attach_static_act_scales):
+        # scan ys carry the per-layer input-absmax dicts, stacked to (L,)
+        # leaves that mirror the param-tree layout.
+        assert out_window is None and not remat, \
+            "collect_act_stats is a calibration-only forward"
+
+        def body_stats(carry, layer_params):
+            return _block(layer_params, cfg, carry, sin, cos, mask, is_causal,
+                          use_flash, bidir_block, key_valid=key_valid,
+                          bidir_1d=bidir_1d, tp_mesh=tp_mesh,
+                          collect_act_stats=True)
+
+        x, stats = jax.lax.scan(body_stats, x, params["layers"], unroll=unroll)
+        return rms_norm(params["final_norm"], x, cfg.rms_norm_eps), stats
 
     def body(carry, layer_params):
         y = _block(layer_params, cfg, carry, sin, cos, mask, is_causal, use_flash,

@@ -359,6 +359,7 @@ def predict_action_hidden(
     compute_logits: bool = False,
     precomputed_patches: Optional[jnp.ndarray] = None,
     tp_mesh=None,
+    collect_act_stats: bool = False,
 ) -> PredictOutput:
     """One prefill with parallel decoding; returns action-slot hidden states.
 
@@ -418,6 +419,19 @@ def predict_action_hidden(
     # last-layer output is unread.
     start = p_len + n_patch - 1
     from openvla_oft_tpu.config import PhiConfig
+
+    if collect_act_stats:
+        # Static-quant calibration (ops/quant_calibrate.py::
+        # attach_static_act_scales): full-width forward with per-layer
+        # input-absmax collection; returns (PredictOutput, stats).
+        assert not isinstance(cfg.llm, PhiConfig), "llama-family only"
+        hidden, stats = _run_llm(
+            params["llm"], cfg.llm, embeds, positions=positions,
+            padding_mask=key_valid, bidir_mask=bidir, use_flash=False,
+            bidir_block=window, collect_act_stats=True)
+        actions_hidden = jax.lax.dynamic_slice_in_dim(hidden, start, chunk,
+                                                      axis=1)
+        return PredictOutput(actions_hidden, None), stats
 
     if isinstance(cfg.llm, PhiConfig):
         # phi_model ignores use_flash/out_window/tp_mesh by design (see its

@@ -91,33 +91,58 @@ def _int8_matmul_static(x: jnp.ndarray, kernel: jnp.ndarray,
                         scale_w: jnp.ndarray,
                         scale_x: jnp.ndarray) -> jnp.ndarray:
     """Static-scale activation quant: `scale_x` is a calibrated per-layer
-    scalar, so quantizing x is one fused elementwise pass (mul+round+clip) —
-    no per-token absmax reduction between the producer op and the matmul.
+    scalar (shape () — or (L,) for a stacked (L, in, out) kernel), so
+    quantizing x is one fused elementwise pass (mul+round+clip) — no
+    per-token absmax reduction between the producer op and the matmul.
     This is the int8 serving mode's remaining-fat fix: the dynamic machinery
     (absmax reduce + scale + s8 cast per projection group) measured
     ~0.15 ms/layer ≈ 4.8 ms per LIBERO chunk (docs/PERFORMANCE.md).
     Activations beyond the calibrated range saturate at ±127 (standard
     static-quant semantics). Backward matches `_int8_matmul` (straight-through
-    via the dequantized weight)."""
+    via the dequantized weight). Calibrate + attach via
+    `ops/quant_calibrate.py::attach_static_act_scales`."""
     xf = x.astype(jnp.float32)
-    inv = 1.0 / jnp.maximum(scale_x.astype(jnp.float32), 1e-12)
-    qx = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+    sxf = scale_x.astype(jnp.float32)
+    if sxf.ndim == 0 or kernel.ndim == 2:
+        # Scalar scale (or a flat kernel): one quantized copy of x serves all
+        # output layers — identical contraction to the dynamic path.
+        inv = 1.0 / jnp.maximum(sxf.reshape(()), 1e-12)
+        qx = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qx, kernel,
+            dimension_numbers=(((qx.ndim - 1,), (kernel.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sxf * scale_w.astype(jnp.float32))
+    # Per-layer (L,) scales with a stacked (L, in, out) kernel: x quantizes
+    # differently per layer, so the contraction runs with L as a batch dim.
+    # Output matches the dynamic path's (..., L, out) layout.
+    assert sxf.shape == kernel.shape[:1], (sxf.shape, kernel.shape)
+    inv = 1.0 / jnp.maximum(sxf, 1e-12)                       # (L,)
+    qx = jnp.clip(jnp.round(xf[..., None, :] * inv[:, None]), -127, 127
+                  ).astype(jnp.int8)                          # (..., L, in)
     acc = jax.lax.dot_general(
         qx, kernel,
-        dimension_numbers=(((qx.ndim - 1,), (kernel.ndim - 2,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (scale_x.astype(jnp.float32)
-                                      * scale_w.astype(jnp.float32))
+        dimension_numbers=(((qx.ndim - 1,), (1,)), ((qx.ndim - 2,), (0,))),
+        preferred_element_type=jnp.int32)                     # (L, ..., out)
+    deq = acc.astype(jnp.float32) * (sxf[:, None]
+                                     * scale_w.astype(jnp.float32))[
+        (slice(None),) + (None,) * (acc.ndim - 2) + (slice(None),)]
+    return jnp.moveaxis(deq, 0, -2)                           # (..., L, out)
 
 
 def _int8_matmul_static_fwd(x, kernel, scale_w, scale_x):
     return (_int8_matmul_static(x, kernel, scale_w, scale_x),
-            (kernel, scale_w, jnp.zeros((0,), x.dtype)))
+            (kernel, scale_w, jnp.zeros((0,), x.dtype),
+             jnp.zeros((0,) + scale_x.shape, scale_x.dtype)))
 
 
 def _int8_matmul_static_bwd(res, g):
-    gx, gk, gs = _int8_matmul_bwd(res, g)
-    return (gx, gk, gs, jnp.zeros((), jnp.float32))
+    kernel, scale_w, x_proto, sx_proto = res
+    gx, gk, gs = _int8_matmul_bwd((kernel, scale_w, x_proto), g)
+    # scale_x is calibration state, not a trained param: zero cotangent in
+    # its own dtype (a hardcoded f32 zero trips custom_vjp's aval check the
+    # moment scale_x is stored in bf16 like other small params).
+    return (gx, gk, gs, jnp.zeros(sx_proto.shape[1:], sx_proto.dtype))
 
 
 _int8_matmul_static.defvjp(_int8_matmul_static_fwd, _int8_matmul_static_bwd)
@@ -134,8 +159,7 @@ def int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     training path backprops through int8-frozen bases.
     """
     if "scale_x" in p:
-        y = _int8_matmul_static(x, p["kernel"], p["scale_w"],
-                                p["scale_x"].reshape(()))
+        y = _int8_matmul_static(x, p["kernel"], p["scale_w"], p["scale_x"])
     else:
         y = _int8_matmul(x, p["kernel"], p["scale_w"])
     if "bias" in p:

@@ -225,6 +225,74 @@ def calibrate(
     return report
 
 
+def attach_static_act_scales(
+    params: Dict[str, Any],
+    cfg: OpenVLAConfig,
+    platform: PlatformSpec,
+    observations: Sequence[Dict[str, jnp.ndarray]],
+    margin: float = 1.0,
+) -> Dict[str, Any]:
+    """Calibrate static per-layer activation scales for the int8 LLM and
+    attach them as stacked (L,) float32 "scale_x" leaves.
+
+    Runs the serving forward (`predict_action_hidden` assembly — same
+    embeddings, masks and layout as inference) in absmax-collection mode over
+    the calibration observations, takes the elementwise max across them, and
+    writes scale_x = margin * absmax / 127 next to every int8 kernel in
+    `params["llm"]["layers"]`. Layers that aren't int8-quantized are skipped.
+    Every lax.scan over the stacked layer tree (full forward, prefill,
+    suffix step, decode step) then slices the (L,) leaf to the per-layer
+    scalar that switches `int8_linear` onto the static path — the diffusion
+    serving loop's per-step absmax-reduction fix (docs/PERFORMANCE.md).
+
+    observations: dicts like `random_observations` produces; optional
+    "noisy_actions"/"diffusion_t_emb" entries calibrate the diffusion
+    geometry. Returns a new params dict (llm layer dicts rebuilt; arrays
+    shared). Call AFTER quantization + weight fusion so the collected stat
+    keys match the serving layout (wqkv/gate_up vs wq/wk/wv/gate/up).
+    """
+    from openvla_oft_tpu.models.prismatic import predict_action_hidden
+
+    @jax.jit
+    def run(p, obs):
+        _, stats = predict_action_hidden(
+            p, cfg, platform, input_ids=obs["input_ids"],
+            prompt_mask=obs["prompt_mask"], pixels=obs["pixels"],
+            proprio=obs.get("proprio"),
+            noisy_actions=obs.get("noisy_actions"),
+            diffusion_t_emb=obs.get("diffusion_t_emb"),
+            collect_act_stats=True)
+        return stats
+
+    agg = None
+    for obs in observations:
+        stats = jax.tree_util.tree_map(np.asarray, run(params, obs))
+        agg = stats if agg is None else jax.tree_util.tree_map(
+            np.maximum, agg, stats)
+
+    layers = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in params["llm"]["layers"].items()}
+    attached = []
+    for group, group_stats in agg.items():
+        for key, absmax in group_stats.items():
+            node = layers.get(group, {}).get(key)
+            if not isinstance(node, dict):
+                continue
+            k = node.get("kernel")
+            if k is None or k.dtype != jnp.int8:
+                continue
+            layers[group] = dict(layers[group])
+            layers[group][key] = {
+                **node,
+                "scale_x": jnp.asarray(margin * absmax / 127.0, jnp.float32),
+            }
+            attached.append(f"{group}/{key}")
+    assert attached, "no int8 kernels found to attach static scales to"
+    out = dict(params)
+    out["llm"] = {**params["llm"], "layers": layers}
+    return out
+
+
 def random_observations(cfg: OpenVLAConfig, platform: PlatformSpec,
                         n: int = 4, seed: int = 0,
                         prompt_bucket: int = 48) -> List[Dict[str, jnp.ndarray]]:

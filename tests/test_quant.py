@@ -317,3 +317,129 @@ def test_int4_kernels_shard_like_their_base_kernel():
         ref = spec_bf16["layers"][grp][name]["kernel"]
         got = spec_int4["layers"][grp][name]["kernel_q4"]
         assert got == ref, (grp, name, got, ref)
+
+
+# === Static activation scales (ops/quant.py::_int8_matmul_static) ===
+def test_int8_static_scale_matches_dynamic(rng):
+    """With scale_x equal to the dynamic per-token absmax/127 the static path
+    must reproduce `_int8_matmul` exactly (same qx, same dequant product)."""
+    from openvla_oft_tpu.ops.quant import _int8_matmul, _int8_matmul_static
+
+    d_in, d_out, t = 256, 128, 8
+    w = rng.standard_normal((d_in, d_out)).astype(np.float32) * 0.05
+    # give every token the SAME absmax so one static scalar == per-token scales
+    x = np.clip(rng.standard_normal((t, d_in)), -2.5, 2.5).astype(np.float32)
+    x[:, 0] = 3.0 * np.sign(x[:, 0] + 0.5)
+    q = quantize_weight(jnp.asarray(w))
+    dyn = np.asarray(_int8_matmul(jnp.asarray(x), q["kernel"], q["scale_w"]))
+    stat = np.asarray(_int8_matmul_static(
+        jnp.asarray(x), q["kernel"], q["scale_w"],
+        jnp.asarray(3.0 / 127.0, jnp.float32)))
+    np.testing.assert_allclose(stat, dyn, rtol=1e-6, atol=1e-6)
+
+    # dispatch through int8_linear via the param-dict key
+    out = np.asarray(int8_linear(
+        {**q, "scale_x": jnp.asarray(3.0 / 127.0, jnp.float32)},
+        jnp.asarray(x)))
+    np.testing.assert_allclose(out, dyn, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_static_scale_stacked_per_layer(rng):
+    """(L,) scale_x with a stacked (L, in, out) kernel: per-layer scales are
+    honored and the output layout matches the dynamic path's (..., L, out)."""
+    from openvla_oft_tpu.ops.quant import _int8_matmul_static
+
+    L, d_in, d_out, t = 3, 128, 64, 4
+    w = rng.standard_normal((L, d_in, d_out)).astype(np.float32) * 0.05
+    x = rng.standard_normal((t, d_in)).astype(np.float32)
+    q = quantize_weight(jnp.asarray(w))
+    scales = jnp.asarray([0.01, 0.02, 0.05], jnp.float32)
+    out = np.asarray(_int8_matmul_static(jnp.asarray(x), q["kernel"],
+                                         q["scale_w"], scales))
+    assert out.shape == (t, L, d_out)
+    for i in range(L):
+        ref = np.asarray(_int8_matmul_static(
+            jnp.asarray(x), q["kernel"][i], q["scale_w"][i], scales[i]))
+        np.testing.assert_allclose(out[:, i], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_static_scale_grad_matches_dynamic():
+    """Backward through the static path is the same straight-through
+    dequantized-weight product as the dynamic path; bf16 scale_x must not
+    trip the custom_vjp aval check (advisor finding)."""
+    from openvla_oft_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(1)
+    d_in, d_out, t = 128, 64, 4
+    w = rng.standard_normal((d_in, d_out)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((t, d_in)), jnp.float32)
+    q = quantize_weight(jnp.asarray(w))
+
+    def loss_dyn(x_):
+        return jnp.sum(jnp.square(int8_linear(q, x_)))
+
+    for sx_dtype in (jnp.float32, jnp.bfloat16):
+        p_stat = {**q, "scale_x": jnp.asarray(0.02, sx_dtype)}
+
+        def loss_stat(x_):
+            return jnp.sum(jnp.square(int8_linear(p_stat, x_)))
+
+        g_stat = jax.grad(loss_stat)(x)  # must trace without aval errors
+        assert g_stat.dtype == x.dtype
+        assert np.isfinite(np.asarray(g_stat)).all()
+        assert float(jnp.linalg.norm(g_stat)) > 0
+    # direction check vs dynamic-path grad (same wdeq backward, different
+    # forward quantization -> same sign structure on smooth inputs)
+    g_dyn = jax.grad(loss_dyn)(x)
+    cos = float(jnp.vdot(g_stat, g_dyn)
+                / (jnp.linalg.norm(g_stat) * jnp.linalg.norm(g_dyn)))
+    assert cos > 0.98, cos
+
+
+def test_attach_static_act_scales_end_to_end(rng):
+    """Calibrate-and-attach on the tiny model: (L,) scale_x leaves appear on
+    every int8 llm kernel, every lax.scan path still runs, and static-path
+    actions stay close to the dynamic-path actions."""
+    from openvla_oft_tpu.models.prismatic import predict_action_hidden
+    from openvla_oft_tpu.ops.quant_calibrate import (
+        attach_static_act_scales,
+        random_observations,
+    )
+    from openvla_oft_tpu.policy import init_openvla_params
+
+    cfg = OpenVLAConfig(vision_backbone_id="tiny-dual",
+                        llm_backbone_id="tiny-llama")
+    params = init_openvla_params(jax.random.PRNGKey(0), cfg, LIBERO,
+                                 dtype=jnp.float32, head="l1")
+    params = dict(params)
+    params["llm"] = quantize_tree(params["llm"],
+                                  min_dim=TINY_LLAMA.hidden_size)
+    obs = random_observations(cfg, LIBERO, n=2, seed=3)
+    # random_observations emits bf16 pixels; tiny fp32 model wants fp32
+    for o in obs:
+        o["pixels"] = o["pixels"].astype(jnp.float32)
+
+    calibrated = attach_static_act_scales(params, cfg, LIBERO, obs)
+    L = TINY_LLAMA.num_layers
+    for grp, key in (("attn", "wq"), ("attn", "wo"), ("mlp", "down")):
+        node = calibrated["llm"]["layers"][grp][key]
+        assert node["scale_x"].shape == (L,), (grp, key)
+        assert np.asarray(node["scale_x"]).min() > 0
+
+    dyn = predict_action_hidden(params, cfg, LIBERO,
+                                input_ids=obs[0]["input_ids"],
+                                prompt_mask=obs[0]["prompt_mask"],
+                                pixels=obs[0]["pixels"],
+                                proprio=obs[0]["proprio"])
+    stat = predict_action_hidden(calibrated, cfg, LIBERO,
+                                 input_ids=obs[0]["input_ids"],
+                                 prompt_mask=obs[0]["prompt_mask"],
+                                 pixels=obs[0]["pixels"],
+                                 proprio=obs[0]["proprio"])
+    a = np.asarray(dyn.actions_hidden)
+    b = np.asarray(stat.actions_hidden)
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    # static per-layer scales are coarser than per-token: allow drift on the
+    # tiny random model but demand the trajectories stay on-manifold
+    assert rel < 0.2, rel
