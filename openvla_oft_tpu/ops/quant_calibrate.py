@@ -293,6 +293,38 @@ def attach_static_act_scales(
     return out
 
 
+def attach_placeholder_act_scales(llm_params: Dict[str, Any],
+                                  value: float = 0.05) -> Dict[str, Any]:
+    """Attach uniform (L,) "scale_x" leaves to every int8 kernel in an LLM
+    tree WITHOUT running calibration.
+
+    Timing-equivalent to `attach_static_act_scales` (the static int8 path's
+    cost doesn't depend on scale values), so benches use this to measure the
+    static-scale serving speed without a calibration forward; production
+    serving must use the calibrated attach for correct numerics.
+    """
+    layers = {}
+    n = 0
+    for group, node in llm_params["layers"].items():
+        if not isinstance(node, dict):
+            layers[group] = node
+            continue
+        new_group = {}
+        for key, leaf in node.items():
+            if (isinstance(leaf, dict) and "kernel" in leaf
+                    and leaf["kernel"].dtype == jnp.int8):
+                L = leaf["kernel"].shape[0] if leaf["kernel"].ndim == 3 else ()
+                sx = (jnp.full((L,), value, jnp.float32) if L != ()
+                      else jnp.asarray(value, jnp.float32))
+                new_group[key] = {**leaf, "scale_x": sx}
+                n += 1
+            else:
+                new_group[key] = leaf
+        layers[group] = new_group
+    assert n, "no int8 kernels found"
+    return {**llm_params, "layers": layers}
+
+
 def random_observations(cfg: OpenVLAConfig, platform: PlatformSpec,
                         n: int = 4, seed: int = 0,
                         prompt_bucket: int = 48) -> List[Dict[str, jnp.ndarray]]:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _params(cfg, platform, quant=None):
+def _params(cfg, platform, quant=None, static_scales=False):
     from openvla_oft_tpu.models.llama import fuse_inference_weights
     from openvla_oft_tpu.policy import init_openvla_params
 
@@ -42,6 +42,16 @@ def _params(cfg, platform, quant=None):
             for mod in ("llm", "vision_backbone", "projector"):
                 params[mod] = quantize_tree(params[mod], min_dim=1024,
                                             bits=4 if quant == "int4" else 8)
+        if static_scales:
+            # Placeholder scales: timing-equivalent to the calibrated attach
+            # (ops/quant_calibrate.py::attach_static_act_scales) — flips every
+            # int8 LLM matmul from per-token absmax quant to one fused
+            # mul+round+clip pass.
+            from openvla_oft_tpu.ops.quant_calibrate import (
+                attach_placeholder_act_scales,
+            )
+
+            params["llm"] = attach_placeholder_act_scales(params["llm"])
         return params
 
     shapes = jax.eval_shape(build)
@@ -54,6 +64,9 @@ def main():
                     help="full-prefill-per-step path (round-2 baseline)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
+    ap.add_argument("--static", action="store_true",
+                    help="static int8 activation scales (placeholder values;"
+                         " timing-equivalent to the calibrated attach)")
     ap.add_argument("--platform", default="libero",
                     choices=["libero", "aloha"])
     ap.add_argument("--film", default=None, choices=["on", "off"],
@@ -76,7 +89,8 @@ def main():
                         llm_backbone_id="llama2-7b-pure",
                         num_images_in_input=3 if args.platform == "aloha" else 2,
                         use_film=use_film)
-    params = _params(cfg, platform, quant=args.quant)
+    params = _params(cfg, platform, quant=args.quant,
+                     static_scales=args.static)
     policy = OpenVLAPolicy(cfg=cfg, platform=platform, params=params,
                            head="diffusion", prompt_bucket=48,
                            num_diffusion_steps=args.steps,
@@ -120,6 +134,7 @@ def main():
     gc.collect()
     mode = ("full-prefill" if args.old else "prefix-kv") \
         + (f"+{args.quant}" if args.quant else "") \
+        + ("+static" if args.static else "") \
         + ("+film" if use_film else "")
     print(f"diffusion[{mode}] steps={args.steps}: {per_call*1e3:.1f} ms/chunk "
           f"({per_call/args.steps*1e3:.2f} ms/step, rtt={rtt*1e3:.1f}ms)")
