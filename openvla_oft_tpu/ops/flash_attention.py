@@ -32,8 +32,23 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *, scale, bq,
-            causal):
+def _allow_block(valid_ref, bidir_ref, qi, bq, t, causal):
+    """The OFT mask rule for a (BQ, T) score block, built from 1D vectors."""
+    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
+    # All 1D->2D reshapes happen on int32 (Mosaic restriction: minor-dim
+    # insertion is unsupported for 1-bit vectors); comparisons come after.
+    valid = valid_ref[0, 0:1, :] > 0                # (1, T) — this batch's row
+    allow = jnp.broadcast_to(valid, (bq, t))
+    if causal:
+        allow = allow & (cols <= rows)
+    bid = bidir_ref[0, 0:1, :] > 0                  # (1, T)
+    q_bid = bidir_ref[0, 0, pl.ds(qi * bq, bq)].reshape(bq, 1) > 0  # (BQ, 1)
+    return allow | (q_bid & bid & valid)
+
+
+def _kernel(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, lse_ref, *,
+            scale, bq, causal):
     qi = pl.program_id(2)
     # Keep q/k/v in their storage dtype (bf16): the MXU runs bf16 inputs with
     # fp32 accumulation at full rate, while fp32 x fp32 matmuls run ~4x
@@ -47,17 +62,7 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *, scale, bq,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (BQ, T) fp32
 
-    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
-    # All 1D->2D reshapes happen on int32 (Mosaic restriction: minor-dim
-    # insertion is unsupported for 1-bit vectors); comparisons come after.
-    valid = valid_ref[0, 0:1, :] > 0                # (1, T) — this batch's row
-    allow = jnp.broadcast_to(valid, (bq, t))
-    if causal:
-        allow = allow & (cols <= rows)
-    bid = bidir_ref[0, 0:1, :] > 0                  # (1, T)
-    q_bid = bidir_ref[0, 0, pl.ds(qi * bq, bq)].reshape(bq, 1) > 0  # (BQ, 1)
-    allow = allow | (q_bid & bid & valid)
+    allow = _allow_block(valid_ref, bidir_ref, qi, bq, t, causal)
 
     scores = jnp.where(allow, scores, _NEG_INF)
     m = jnp.max(scores, axis=1, keepdims=True)
@@ -68,6 +73,10 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, bidir_ref, o_ref, *, scale, bq,
                             preferred_element_type=jnp.float32)
     o = o / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = o.astype(o_ref.dtype)
+    # Log-sum-exp residual for the backward, lane-broadcast to the (BQ, 128)
+    # tile so no 1D stores/transposes are needed (bwd reads lanes [0:1]).
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))       # (BQ, 1)
+    lse_ref[0, 0] = jnp.broadcast_to(lse, (bq, 128))
 
 
 def flash_attention(
@@ -121,15 +130,24 @@ def flash_attention(
     # select the row statically.
     valid8 = jnp.broadcast_to(key_valid.astype(jnp.int32)[:, None, :], (b, 8, s_pad))
     bidir8 = jnp.broadcast_to(bidir_mask.astype(jnp.int32)[:, None, :], (b, 8, s_pad))
-    rep = h // hkv
 
-    grid = (b, h, s_pad // bq)
-    kernel = functools.partial(_kernel, scale=d ** -0.5, bq=bq, causal=is_causal)
+    out = _flash_core(is_causal, bq, qt, kt, vt, valid8, bidir8)
+
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :s]
+
+
+def _fwd_pallas(causal, bq, qt, kt, vt, valid8, bidir8):
+    """(o, lse) from the forward kernel; all arrays in (B, H, S_pad, D)."""
+    b, h, s_pad, d = qt.shape
+    hkv = kt.shape[1]
+    rep = h // hkv
+    kernel = functools.partial(_kernel, scale=d ** -0.5, bq=bq, causal=causal)
     # Interpreter mode off-TPU so the same code path is testable on CPU.
     interpret = jax.devices()[0].platform not in ("tpu",)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b, h, s_pad // bq),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0)),
@@ -137,15 +155,174 @@ def flash_attention(
             pl.BlockSpec((1, 8, s_pad), lambda bi, hi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, 8, s_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 128), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, d), qt.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, 128), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qt, kt, vt, valid8, bidir8)
 
-    out = out.transpose(0, 2, 1, 3)
-    return out[:, :s]
+
+# === Backward (training path) ===
+# Standard flash-attention backward with recompute: residuals are (q, k, v,
+# o, lse) — never the (S, S) probabilities. Two kernels: dq tiles over query
+# blocks (disjoint writes), dk/dv tiles over key blocks (disjoint writes,
+# per-QUERY-head; GQA reduces the rep groups outside). delta = rowsum(do*o)
+# is computed in-kernel from the do/o blocks. The reference trains through
+# flash-attn 2's CUDA backward (SETUP.md:20-24); this is its TPU analog.
+
+
+def _kernel_dq(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, valid_ref,
+               bidir_ref, dq_ref, *, scale, bq, causal):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]                                 # (BQ, D)
+    k = k_ref[0, 0]                                 # (T, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                               # (BQ, D)
+    o = o_ref[0, 0]
+    t = k.shape[0]
+
+    allow = _allow_block(valid_ref, bidir_ref, qi, bq, t, causal)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(allow, s, _NEG_INF)
+    lse = lse_ref[0, 0][:, 0:1]                     # (BQ, 1)
+    p = jnp.where(allow, jnp.exp(s - lse), 0.0)     # (BQ, T) fp32
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (BQ, T)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=1, keepdims=True)          # (BQ, 1)
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _kernel_dkv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, valid_ref,
+                bidir_ref, dk_ref, dv_ref, *, scale, bk, causal):
+    ki = pl.program_id(2)
+    q = q_ref[0, 0]                                 # (S, D) — full queries
+    k = k_ref[0, 0]                                 # (BK, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                               # (S, D)
+    o = o_ref[0, 0]
+    s_len = q.shape[0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s_len, bk), 0)
+    cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (s_len, bk), 1)
+    valid_c = valid_ref[0, 0, pl.ds(ki * bk, bk)].reshape(1, bk) > 0
+    allow = jnp.broadcast_to(valid_c, (s_len, bk))
+    if causal:
+        allow = allow & (cols <= rows)
+    bid_c = bidir_ref[0, 0, pl.ds(ki * bk, bk)].reshape(1, bk) > 0
+    bid_r = bidir_ref[0, 0, :].reshape(s_len, 1) > 0
+    allow = allow | (bid_r & bid_c & valid_c)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(allow, s, _NEG_INF)
+    lse = lse_ref[0, 0][:, 0:1]                     # (S, 1)
+    p = jnp.where(allow, jnp.exp(s - lse), 0.0)     # (S, BK) fp32
+    # dv = p^T @ do
+    dv = jax.lax.dot_general(p.astype(v.dtype), do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (BK, D)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (S, BK)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=1, keepdims=True)          # (S, 1)
+    ds = p * (dp - delta) * scale                   # (S, BK)
+    dk = jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (BK, D)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_core(causal, bq, qt, kt, vt, valid8, bidir8):
+    o, _ = _fwd_pallas(causal, bq, qt, kt, vt, valid8, bidir8)
+    return o
+
+
+def _flash_core_fwd(causal, bq, qt, kt, vt, valid8, bidir8):
+    o, lse = _fwd_pallas(causal, bq, qt, kt, vt, valid8, bidir8)
+    return o, (qt, kt, vt, valid8, bidir8, o, lse)
+
+
+def _flash_core_bwd(causal, bq, res, g):
+    import numpy as _np
+
+    qt, kt, vt, valid8, bidir8, o, lse = res
+    b, h, s_pad, d = qt.shape
+    hkv = kt.shape[1]
+    rep = h // hkv
+    g = g.astype(qt.dtype)
+    interpret = jax.devices()[0].platform not in ("tpu",)
+
+    dq = pl.pallas_call(
+        functools.partial(_kernel_dq, scale=d ** -0.5, bq=bq, causal=causal),
+        grid=(b, h, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 128), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), qt.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qt, kt, vt, g, o, lse, valid8, bidir8)
+
+    bk = bq
+    dkh, dvh = pl.pallas_call(
+        functools.partial(_kernel_dkv, scale=d ** -0.5, bk=bk, causal=causal),
+        grid=(b, h, s_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi // rep, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi // rep, ki, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, 128), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda bi, hi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 8, s_pad), lambda bi, hi, ki: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, d), qt.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, d), qt.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qt, kt, vt, g, o, lse, valid8, bidir8)
+
+    # GQA: per-query-head dk/dv reduce over the rep group (fwd maps query
+    # head hi -> kv head hi // rep, so groups are contiguous).
+    dk = dkh.reshape(b, hkv, rep, s_pad, d).sum(axis=2).astype(kt.dtype)
+    dv = dvh.reshape(b, hkv, rep, s_pad, d).sum(axis=2).astype(vt.dtype)
+    # int32 mask inputs take float0 cotangents (JAX's convention for
+    # non-differentiable integer primals).
+    zero_v = _np.zeros(valid8.shape, dtype=jax.dtypes.float0)
+    zero_b = _np.zeros(bidir8.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, zero_v, zero_b
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def _round_up(x: int, m: int) -> int:

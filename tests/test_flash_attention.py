@@ -149,3 +149,78 @@ def test_flash_attention_tp_static_window_and_gqa(rng):
     out_one = flash_attention(q, k, v, is_causal=True, bidir_block=(30, 10))
     np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_one),
                                rtol=1e-5, atol=1e-5)
+
+
+# === Backward (custom_vjp) — reference training runs through flash-attn's
+# CUDA backward (SETUP.md:20-24); ours must match the XLA path's grads. ===
+def _grad_pair(q, k, v, key_valid, bidir_block, s):
+    def f_flash(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, is_causal=True, key_valid=key_valid,
+                            bidir_block=bidir_block)
+        return jnp.sum(jnp.square(o[:, :s]))
+
+    def f_xla(q_, k_, v_):
+        o = attention(q_, k_, v_, is_causal=True, use_flash=False,
+                      key_valid=key_valid, bidir_block=bidir_block)
+        return jnp.sum(jnp.square(o[:, :s]))
+
+    return (jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v),
+            jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v))
+
+
+def _assert_grads_close(gf, gx, rtol=2e-3):
+    for name, a, b in zip("qkv", gf, gx):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        rel = float(jnp.max(jnp.abs(a - b))) / scale
+        assert rel < rtol, (name, rel)
+
+
+def test_flash_backward_matches_xla_libero_geometry(rng):
+    """LIBERO serving/training geometry: S=618 multimodal rows, left padding,
+    action-chunk window, GQA."""
+    b, s = 2, 618
+    q, k, v = _qkv(rng, b=b, s=s, h=8, d=64, hkv=4)
+    key_valid = jnp.asarray(rng.random((b, s)) > 0.1).at[:, -64:].set(True)
+    gf, gx = _grad_pair(q, k, v, key_valid, (s - 60, 56), s)
+    _assert_grads_close(gf, gx)
+
+
+def test_flash_backward_matches_xla_aloha_geometry(rng):
+    """ALOHA geometry: ~1k rows (3 cams), above FLASH_SEQ_THRESHOLD — the
+    regime where training actually selects the kernel."""
+    b, s = 1, 1000
+    q, k, v = _qkv(rng, b=b, s=s, h=4, d=64)
+    key_valid = jnp.ones((b, s), bool).at[:, :37].set(False)
+    gf, gx = _grad_pair(q, k, v, key_valid, (s - 360, 352), s)
+    _assert_grads_close(gf, gx)
+
+
+def test_flash_backward_under_remat_and_mesh(rng):
+    """jax.checkpoint over the kernel (the training configuration:
+    remat_policy wraps the block) on the 8-device CPU mesh with dp sharding —
+    the custom_vjp must compose with remat and GSPMD."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from openvla_oft_tpu.parallel.mesh import make_mesh
+
+    b, s = 4, 70
+    q, k, v = _qkv(rng, b=b, s=s, h=4, d=64)
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    shard = NamedSharding(mesh, P(("dp", "fsdp")))
+    q, k, v = (jax.device_put(x, shard) for x in (q, k, v))
+
+    @jax.jit
+    def loss(q_, k_, v_):
+        f = jax.checkpoint(lambda a, b_, c: flash_attention(
+            a, b_, c, is_causal=True, bidir_block=(40, 12)))
+        return jnp.sum(jnp.square(f(q_, k_, v_)))
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_xla(q_, k_, v_):
+        o = attention(q_, k_, v_, is_causal=True, use_flash=False,
+                      bidir_block=(40, 12))
+        return jnp.sum(jnp.square(o))
+
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    _assert_grads_close(gf, gx)
