@@ -33,7 +33,15 @@ class QuickstartConfig:
     center_crop: bool = True
 
 
+FIXTURE = (Path(__file__).resolve().parent.parent / "experiments" / "robot" /
+           "libero" / "sample_libero_spatial_observation.pkl")
+
+
 def load_observation(path: Optional[str]) -> dict:
+    if path is None and FIXTURE.exists():
+        # in-repo recorded-format fixture (same schema as the reference's
+        # sample_libero_spatial_observation.pkl, README.md:55-69)
+        path = str(FIXTURE)
     if path:
         with open(path, "rb") as f:
             obs = pickle.load(f)
@@ -83,6 +91,7 @@ def main(cfg: QuickstartConfig) -> None:
     print(f"action chunk ({len(actions)} steps x {actions[0].shape[0]}-D):")
     for i, a in enumerate(actions):
         print(f"  t+{i}: {np.array2string(a, precision=3, suppress_small=True)}")
+    return actions
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ import threading
 from typing import Iterator, Optional
 
 import jax
+import numpy as np
 
 
 class DevicePrefetcher:
@@ -20,12 +21,27 @@ class DevicePrefetcher:
 
     `sharding`: a jax Sharding applied to every array in the batch (e.g.
     NamedSharding(mesh, P(("dp", "fsdp")))). `depth` buffers are in flight.
+
+    Multi-process: when the sharding spans >1 JAX process, each process's
+    iterator yields its PROCESS-LOCAL slice of the global batch (the data
+    pipeline shards episode files per process) and batches are assembled
+    into global arrays via `jax.make_array_from_process_local_data` — the
+    SPMD analog of the reference's one-DataLoader-per-DDP-rank feeding
+    (reference finetune.py:796-798). Override with `process_local=False`
+    if the iterator yields full global batches on every process.
     """
 
     def __init__(self, batches: Iterator, sharding=None, depth: int = 2,
-                 drop_keys: tuple = ("dataset_name",)):
+                 drop_keys: tuple = ("dataset_name",),
+                 process_local: Optional[bool] = None):
         self._source = batches
         self._sharding = sharding
+        if process_local is None:
+            try:
+                process_local = sharding is not None and jax.process_count() > 1
+            except Exception:
+                process_local = False
+        self._process_local = bool(process_local)
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._drop = set(drop_keys)
         self._done = object()
@@ -50,7 +66,11 @@ class DevicePrefetcher:
                 if self._stop.is_set():
                     return
                 batch = {k: v for k, v in batch.items() if k not in self._drop}
-                if self._sharding is not None:
+                if self._process_local:
+                    batch = {k: jax.make_array_from_process_local_data(
+                        self._sharding, np.asarray(v))
+                        for k, v in batch.items()}
+                elif self._sharding is not None:
                     batch = {k: jax.device_put(v, self._sharding)
                              for k, v in batch.items()}
                 else:

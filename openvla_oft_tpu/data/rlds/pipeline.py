@@ -268,6 +268,14 @@ def compute_stats_from_tfrecords(root: str, name: str, platform: PlatformSpec,
     return stats
 
 
+def _threads(n: Optional[int]):
+    """None -> AUTOTUNE, else an explicit thread count (the reference's
+    traj_transform_threads / traj_read_threads per-dataset budgeting,
+    rlds/dataset.py:529-533)."""
+    tf = _tf()
+    return tf.data.AUTOTUNE if n is None else max(int(n), 1)
+
+
 def _build_encoded_frame_dataset(
     root: str,
     name: str,
@@ -277,6 +285,9 @@ def _build_encoded_frame_dataset(
     standardize_fn="auto",
     num_images: int = 1,
     goal_relabeling_strategy: Optional[str] = None,
+    read_parallelism: Optional[int] = None,      # TFRecord reader threads
+    transform_parallelism: Optional[int] = None,  # episode->frames workers
+    cycle_length: int = 4,                        # episodes interleaved
 ):
     """Per-dataset tf.data graph up to (and including) frame chunking, with
     images still JPEG-encoded — the shared building block for the single
@@ -312,7 +323,10 @@ def _build_encoded_frame_dataset(
         n_proc, proc = 1, 0
     if n_proc > 1 and len(files) >= n_proc:
         files = files[proc::n_proc]
-    ds = tf.data.TFRecordDataset(files, num_parallel_reads=tf.data.AUTOTUNE)
+        print(f"[rlds] process {proc}/{n_proc} reads {len(files)} of the "
+              f"episode shards for {name}")
+    ds = tf.data.TFRecordDataset(files,
+                                 num_parallel_reads=_threads(read_parallelism))
     if train:
         ds = ds.repeat().shuffle(min(64, max(len(files) * 4, 8)),
                                  seed=seed + proc)
@@ -394,13 +408,14 @@ def _build_encoded_frame_dataset(
         frames["proprio"] = proprio[:eff]
         return tf.data.Dataset.from_tensor_slices(frames)
 
-    ds = ds.interleave(to_frames, cycle_length=4,
-                       num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.interleave(to_frames, cycle_length=cycle_length,
+                       num_parallel_calls=_threads(transform_parallelism))
     return ds, stats
 
 
 def _decode_and_augment(ds, image_aug: bool, train: bool,
-                        task_augment_prob: float):
+                        task_augment_prob: float,
+                        decode_parallelism: Optional[int] = None):
     """JPEG decode + seeded augmentation over a (possibly mixed) frame
     stream. Runs AFTER the shuffle buffer so the buffer holds encoded bytes."""
     tf = _tf()
@@ -442,7 +457,7 @@ def _decode_and_augment(ds, image_aug: bool, train: bool,
             frame["language_instruction"], frame["goal_image"] = lang, goal
         return frame
 
-    ds = ds.map(decode, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.map(decode, num_parallel_calls=_threads(decode_parallelism))
     return ds.prefetch(tf.data.AUTOTUNE)
 
 
@@ -483,6 +498,10 @@ def make_rlds_iterator(
     num_images: int = 1,
     goal_relabeling_strategy: Optional[str] = None,
     task_augment_prob: float = 0.0,
+    read_parallelism: Optional[int] = None,
+    transform_parallelism: Optional[int] = None,
+    decode_parallelism: Optional[int] = None,
+    cycle_length: int = 4,
 ) -> Tuple[Iterator[Dict[str, np.ndarray]], Dict]:
     """Build the frame iterator + dataset statistics for one dataset.
 
@@ -504,10 +523,14 @@ def make_rlds_iterator(
     ds, stats = _build_encoded_frame_dataset(
         root, name, platform, train=train, seed=seed,
         standardize_fn=standardize_fn, num_images=num_images,
-        goal_relabeling_strategy=goal_relabeling_strategy)
+        goal_relabeling_strategy=goal_relabeling_strategy,
+        read_parallelism=read_parallelism,
+        transform_parallelism=transform_parallelism,
+        cycle_length=cycle_length)
     if train:
         ds = ds.shuffle(shuffle_buffer_size, seed=seed)
-    ds = _decode_and_augment(ds, image_aug, train, task_augment_prob)
+    ds = _decode_and_augment(ds, image_aug, train, task_augment_prob,
+                             decode_parallelism=decode_parallelism)
     return _wrap_frame_iterator(ds, batch_transform), {name: stats}
 
 
@@ -531,14 +554,17 @@ def make_interleaved_iterator(
     with parallel readers per member, then one shared shuffle buffer over
     *encoded* frames and one decode/augment stage. `balance_weights`
     multiplies each weight by the dataset's transition count (reference
-    dataset.py:508-513). Per-dataset thread/read budgeting from the
-    reference (data_utils.py:287-321) is subsumed by tf.data AUTOTUNE.
+    dataset.py:508-513). Thread budgeting: AUTOTUNE by default, with the
+    reference's explicit per-stage budgets (data_utils.py:287-321) exposed
+    as read_parallelism / transform_parallelism / decode_parallelism /
+    cycle_length kwargs (forwarded per member dataset).
 
     Falls back to host-side weighted round-robin over separate graphs when
     member frame structures differ (e.g. mixing 1- and 2-camera datasets).
     """
     tf = _tf()
     task_augment_prob = kwargs.pop("task_augment_prob", 0.0)
+    decode_parallelism = kwargs.pop("decode_parallelism", None)
     builders, all_stats = [], {}
     for i, name in enumerate(names):
         ds, stats = _build_encoded_frame_dataset(
@@ -561,7 +587,8 @@ def make_interleaved_iterator(
         if train:
             mixed = mixed.shuffle(shuffle_buffer_size, seed=seed)
         mixed = _decode_and_augment(mixed, image_aug, train,
-                                    task_augment_prob)
+                                    task_augment_prob,
+                                    decode_parallelism=decode_parallelism)
         return _wrap_frame_iterator(mixed, batch_transform), all_stats
 
     # structure mismatch: decode each member separately, mix on host
@@ -570,7 +597,8 @@ def make_interleaved_iterator(
         if train:
             ds = ds.shuffle(max(shuffle_buffer_size // len(builders), 1),
                             seed=seed)
-        ds = _decode_and_augment(ds, image_aug, train, task_augment_prob)
+        ds = _decode_and_augment(ds, image_aug, train, task_augment_prob,
+                                 decode_parallelism=decode_parallelism)
         its.append(_wrap_frame_iterator(ds, batch_transform))
     rng = np.random.default_rng(seed)
 

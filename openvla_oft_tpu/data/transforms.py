@@ -156,8 +156,12 @@ def save_dataset_statistics(stats: Dict[str, Dict], run_dir: str) -> str:
     """Write `dataset_statistics.json` (reference data_utils.py:265-284)."""
     os.makedirs(run_dir, exist_ok=True)
     path = os.path.join(run_dir, "dataset_statistics.json")
-    with open(path, "w") as f:
+    # atomic write: concurrent writers (e.g. two JAX processes building the
+    # same pipeline) each rename a complete file; readers never see a torn one
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(stats, f, indent=2)
+    os.replace(tmp, path)
     return path
 
 

@@ -114,7 +114,28 @@ def param_shardings(params: Params, mesh: Mesh) -> Params:
                                   param_pspecs(params, mesh))
 
 
+def put_global(leaf, sharding: NamedSharding):
+    """Place one host value under a (possibly multi-process) sharding.
+
+    Single-process this is plain `device_put`. Multi-process, a committed
+    host array -> global sharding is an illegal cross-host reshard in
+    multi-controller JAX; but every process holds the SAME full host value
+    (deterministic init / checkpoint load), so assemble the global array
+    from process-local shard lookups instead — no communication."""
+    if jax.process_count() == 1:
+        return jax.device_put(leaf, sharding)
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        # already a global array: same device set, on-device reshard is legal
+        return leaf if leaf.sharding == sharding \
+            else jax.device_put(leaf, sharding)
+    import numpy as np
+
+    x = np.asarray(leaf)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_params(params: Params, mesh: Mesh) -> Params:
     """Device-put `params` according to the rules (host -> sharded HBM)."""
     shardings = param_shardings(params, mesh)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    return jax.tree_util.tree_map(put_global, params, shardings)

@@ -331,3 +331,40 @@ def test_zero_action_filter():
     assert not zero_action_filter(zeros)
     moving = {"action": np.ones((4, 7))}
     assert zero_action_filter(moving)
+
+
+def test_every_mixture_member_resolves():
+    """Every member of every named mixture resolves to a registry config, a
+    standardization transform, and loadable dataset kwargs — with the two
+    reference-parity exceptions that must KEEP raising (materialize.py:32-50):
+    non-EEF/bimanual action encodings, and camera-view sets that lack the
+    requested view."""
+    from openvla_oft_tpu.data.rlds.oxe import (
+        OXE_DATASET_CONFIGS,
+        OXE_NAMED_MIXTURES,
+        OXE_STANDARDIZATION_TRANSFORMS,
+        make_oxe_dataset_kwargs,
+    )
+
+    assert len(OXE_NAMED_MIXTURES) >= 21  # full reference breadth
+    members = {d for mix in OXE_NAMED_MIXTURES.values() for d, _ in mix}
+    assert len(members) >= 50
+    for name in sorted(members):
+        assert name in OXE_DATASET_CONFIGS, f"no config for {name}"
+        assert name in OXE_STANDARDIZATION_TRANSFORMS, f"no transform for {name}"
+        cfg = OXE_DATASET_CONFIGS[name]
+        encoding_ok = cfg.action_encoding.name in (
+            "EEF_POS", "EEF_R6", "JOINT_POS_BIMANUAL")
+        has_primary = cfg.image_obs_keys.get("primary") is not None or \
+            "camera_front_image" in cfg.image_obs_keys
+        views = ("camera_front_image",) if "camera_front_image" in \
+            cfg.image_obs_keys else ("primary",)
+        if encoding_ok and has_primary:
+            kw = make_oxe_dataset_kwargs(name, "/data",
+                                         load_camera_views=views)
+            assert kw["standardize_fn"] is not None
+            assert len(kw["absolute_action_mask"]) == \
+                len(kw["action_normalization_mask"])
+        else:
+            with pytest.raises(ValueError):
+                make_oxe_dataset_kwargs(name, "/data")

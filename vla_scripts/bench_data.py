@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--no_aug", action="store_true")
     ap.add_argument("--interleave", action="store_true",
                     help="two-dataset weighted mixture instead of one stream")
+    ap.add_argument("--sweep", action="store_true",
+                    help="frames/s curve over explicit thread budgets "
+                         "(read/transform/decode parallelism 1,2,4,AUTOTUNE)")
     args = ap.parse_args()
 
     from openvla_oft_tpu.config import OpenVLAConfig
@@ -89,6 +92,45 @@ def main():
 
         processor = PrismaticProcessor(cfg)
         transform = RLDSBatchTransform(processor, ActionTokenizer(), platform)
+
+        collator_ = PaddedCollatorForActionPrediction(
+            pad_token_id=cfg.pad_token_id)
+
+        def measure(dataset) -> float:
+            batches = batch_iterator(dataset, args.batch_size, collator_)
+            next(batches)  # warmup: graph build + first shuffle fill
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(args.batches):
+                n += next(batches)["input_ids"].shape[0]
+            return n / (time.perf_counter() - t0)
+
+        if args.sweep:
+            # The reference scales input by running one tf.data stream per
+            # GPU process with fixed thread budgets (rlds data_utils.py:
+            # 287-321); this sweep publishes the equivalent frames/s-per-
+            # thread-budget curve on THIS host so multi-core extrapolation
+            # is measured, not assumed (docs/PERFORMANCE.md).
+            import os
+
+            from openvla_oft_tpu.data.rlds.pipeline import make_rlds_iterator
+
+            cores = os.cpu_count() or 1
+            print(f"# sweep on a {cores}-core host, b={args.batch_size}, "
+                  f"images={args.num_images}, aug={not args.no_aug}")
+            for par in (1, 2, 4, None):
+                dataset, _ = make_rlds_iterator(
+                    root, names[0], transform, platform,
+                    shuffle_buffer_size=2000, image_aug=not args.no_aug,
+                    num_images=args.num_images,
+                    read_parallelism=par, transform_parallelism=par,
+                    decode_parallelism=par,
+                    cycle_length=max(par or 4, 2))
+                fps = measure(dataset)
+                label = "AUTOTUNE" if par is None else str(par)
+                print(f"pipeline[sweep par={label:>8}]: {fps:7.1f} frames/s "
+                      f"({fps / cores:.1f} frames/s/core)", flush=True)
+            return
 
         if args.interleave:
             from openvla_oft_tpu.data.rlds.pipeline import (

@@ -84,6 +84,10 @@ class FinetuneConfig:
     # TPU-native additions
     recipe: Optional[str] = None                  # named recipe (training/recipes.py)
     multihost: bool = False                       # jax.distributed.initialize()
+    coordinator_address: Optional[str] = None     # explicit cluster wiring for
+    num_processes: Optional[int] = None           # environments without TPU-pod
+    process_id: Optional[int] = None              # metadata (e.g. the 2-process
+                                                  # CPU dryrun, dryrun_multiprocess.py)
     mesh_dp: int = 1
     mesh_fsdp: int = 1
     mesh_tp: int = 1
@@ -136,7 +140,7 @@ def finetune(cfg: FinetuneConfig) -> dict:
     from openvla_oft_tpu.data.datasets import DummyDataset, RLDSBatchTransform
     from openvla_oft_tpu.data.transforms import save_dataset_statistics
     from openvla_oft_tpu.parallel.mesh import make_mesh
-    from openvla_oft_tpu.parallel.sharding import shard_params
+    from openvla_oft_tpu.parallel.sharding import put_global, shard_params
     from openvla_oft_tpu.policy import init_openvla_params
     from openvla_oft_tpu.processing.action_tokenizer import ActionTokenizer
     from openvla_oft_tpu.processing.processor import PrismaticProcessor
@@ -151,10 +155,19 @@ def finetune(cfg: FinetuneConfig) -> dict:
 
     if cfg.multihost:
         # Multi-host TPU pods: wire up the JAX distributed runtime (the
-        # torchrun/NCCL process-group analog, SURVEY.md §2.8/§5.8).
-        jax.distributed.initialize()
+        # torchrun/NCCL process-group analog, SURVEY.md §2.8/§5.8). On pods
+        # the no-arg form auto-detects the cluster; explicit flags serve
+        # clusters without TPU metadata (the 2-process CPU dryrun).
+        kw = {}
+        if cfg.coordinator_address is not None:
+            kw = dict(coordinator_address=cfg.coordinator_address,
+                      num_processes=cfg.num_processes,
+                      process_id=cfg.process_id)
+        jax.distributed.initialize(**kw)
         print(f"[finetune] process {jax.process_index()}/{jax.process_count()}"
               f" up with {jax.local_device_count()} local devices")
+    n_proc = jax.process_count()
+    is_primary = jax.process_index() == 0
 
     if cfg.recipe:
         from openvla_oft_tpu.training.recipes import apply_recipe
@@ -181,57 +194,110 @@ def finetune(cfg: FinetuneConfig) -> dict:
           f"platform={platform.name}")
 
     # === Model ===
+    # Build/load/quantize the parameter tree ON HOST: eager 7B init on a
+    # 16 GB chip OOMs (the bf16 tree plus per-leaf PRNG uint32 transients
+    # peaks ~19 GB), and checkpoint loads are host numpy anyway. The only
+    # device transfer is shard_params moving the FINAL (possibly int8)
+    # leaves onto the mesh.
+    host_cpu = jax.local_devices(backend="cpu")[0]  # local: jax.devices()[0]
+    # is process 0's device, non-addressable from other processes
     head = {"l1": "l1", "diffusion": "diffusion", "discrete": None}[objective]
     norm_stats = None
-    if cfg.vla_path.startswith("random:"):
-        size = cfg.vla_path.split(":", 1)[1]
-        if size == "tiny":
-            from openvla_oft_tpu.config import TINY_DINOV2, TINY_LLAMA, TINY_SIGLIP
 
-            C._VISION_REGISTRY.setdefault("tiny-dual", (TINY_DINOV2, TINY_SIGLIP))
+    def _make_model_cfg():
+        if cfg.vla_path.startswith("random:") \
+                and cfg.vla_path.split(":", 1)[1] == "tiny":
+            from openvla_oft_tpu.config import (TINY_DINOV2, TINY_LLAMA,
+                                                TINY_SIGLIP)
+
+            C._VISION_REGISTRY.setdefault("tiny-dual",
+                                          (TINY_DINOV2, TINY_SIGLIP))
             C._LLM_REGISTRY.setdefault("tiny-llama", TINY_LLAMA)
-            model_cfg = OpenVLAConfig(
+            return OpenVLAConfig(
                 vision_backbone_id="tiny-dual", llm_backbone_id="tiny-llama",
                 num_images_in_input=cfg.num_images_in_input,
                 use_film=cfg.use_film)
+        return OpenVLAConfig(num_images_in_input=cfg.num_images_in_input,
+                             use_film=cfg.use_film)
+
+    def _build_model_host():
+        """Init/load the full tree, split base vs trainables, quantize.
+        Runs entirely on host CPU (see the default_device scope at the call
+        site). Returns (base, trainables, model_cfg, norm_stats)."""
+        norm_stats = None
+        if cfg.vla_path.startswith("random:"):
+            model_cfg = _make_model_cfg()
+            full = init_openvla_params(
+                jax.random.PRNGKey(0), model_cfg, platform,
+                dtype=jnp.bfloat16, head=head,
+                with_lm_head=(objective == "discrete"))
         else:
-            model_cfg = OpenVLAConfig(num_images_in_input=cfg.num_images_in_input,
-                                      use_film=cfg.use_film)
-        full = init_openvla_params(jax.random.PRNGKey(0), model_cfg, platform,
-                                   dtype=jnp.bfloat16, head=head,
-                                   with_lm_head=(objective == "discrete"))
+            model_cfg, base_loaded, norm_stats = load_openvla_checkpoint(
+                cfg.vla_path, dtype=jnp.bfloat16)
+            model_cfg = dataclasses.replace(
+                model_cfg, num_images_in_input=cfg.num_images_in_input,
+                use_film=cfg.use_film)
+            full = init_openvla_params(
+                jax.random.PRNGKey(0), model_cfg, platform,
+                dtype=jnp.bfloat16, head=head,
+                with_lm_head=(objective == "discrete"))
+            for k in ("llm", "vision_backbone", "projector"):
+                full[k] = base_loaded[k]
+
+        base = {k: full[k] for k in ("llm", "vision_backbone", "projector")}
+        trainables = {}
+        if cfg.use_lora:
+            trainables["lora"] = init_lora(jax.random.PRNGKey(1), base,
+                                           rank=cfg.lora_rank)
+        if cfg.quantize_base:
+            # QLoRA on TPU: int8 frozen base (per-out-channel symmetric),
+            # fp32 LoRA on top; backward is straight-through (ops/quant.py
+            # _int8_matmul). Kernels are donated so the bf16 and int8 trees
+            # never coexist in HBM.
+            from openvla_oft_tpu.ops.quant import quantize_tree_lowmem
+
+            for k in ("llm", "vision_backbone", "projector"):
+                base[k] = quantize_tree_lowmem(
+                    base[k], min_dim=cfg.quantize_base_min_dim,
+                    bits=cfg.quantize_base_bits)
+        for k in ("action_head", "proprio_projector",
+                  "noisy_action_projector", "film"):
+            if k in full and (k != "proprio_projector" or cfg.use_proprio):
+                trainables[k] = full[k]
+        return base, trainables, model_cfg, norm_stats
+
+    # Random-base + QLoRA runs cache the finished HOST tree: the 7B CPU init
+    # + int8 quantization costs ~50 min on a 1-core host and is fully
+    # deterministic (PRNGKey(0)/(1)), so pay it once per configuration.
+    _cache = None
+    if cfg.vla_path.startswith("random:") and cfg.quantize_base:
+        _key = (f"{cfg.vla_path.split(':', 1)[1]}_b{cfg.quantize_base_bits}"
+                f"_d{cfg.quantize_base_min_dim}_h{head}"
+                f"_p{int(cfg.use_proprio)}_i{cfg.num_images_in_input}"
+                f"_f{int(cfg.use_film)}_r{cfg.lora_rank}"
+                f"_lm{int(objective == 'discrete')}")
+        _cache = Path(".cache") / f"qbase_{_key}.pkl"
+    if _cache is not None and _cache.exists():
+        import pickle
+
+        with open(_cache, "rb") as f:
+            cached = pickle.load(f)
+        base, trainables = cached["base"], cached["trainables"]
+        model_cfg = _make_model_cfg()
+        print(f"[finetune] loaded cached quantized base from {_cache}")
     else:
-        model_cfg, base_loaded, norm_stats = load_openvla_checkpoint(
-            cfg.vla_path, dtype=jnp.bfloat16)
-        model_cfg = dataclasses.replace(
-            model_cfg, num_images_in_input=cfg.num_images_in_input,
-            use_film=cfg.use_film)
-        full = init_openvla_params(jax.random.PRNGKey(0), model_cfg, platform,
-                                   dtype=jnp.bfloat16, head=head,
-                                   with_lm_head=(objective == "discrete"))
-        for k in ("llm", "vision_backbone", "projector"):
-            full[k] = base_loaded[k]
+        with jax.default_device(host_cpu):
+            base, trainables, model_cfg, norm_stats = _build_model_host()
+        if _cache is not None:
+            import pickle
 
-    base = {k: full[k] for k in ("llm", "vision_backbone", "projector")}
-    trainables = {}
-    if cfg.use_lora:
-        trainables["lora"] = init_lora(jax.random.PRNGKey(1), base,
-                                       rank=cfg.lora_rank)
-    if cfg.quantize_base:
-        # QLoRA on TPU: int8 frozen base (per-out-channel symmetric), fp32
-        # LoRA on top; backward is straight-through (ops/quant.py
-        # _int8_matmul). Kernels are donated so the bf16 and int8 trees never
-        # coexist in HBM.
-        from openvla_oft_tpu.ops.quant import quantize_tree_lowmem
-
-        for k in ("llm", "vision_backbone", "projector"):
-            base[k] = quantize_tree_lowmem(base[k],
-                                           min_dim=cfg.quantize_base_min_dim,
-                                           bits=cfg.quantize_base_bits)
-    for k in ("action_head", "proprio_projector", "noisy_action_projector",
-              "film"):
-        if k in full and (k != "proprio_projector" or cfg.use_proprio):
-            trainables[k] = full[k]
+            _cache.parent.mkdir(exist_ok=True)
+            host_np = jax.tree_util.tree_map(np.asarray,
+                                             {"base": base,
+                                              "trainables": trainables})
+            with open(_cache, "wb") as f:
+                pickle.dump(host_np, f, protocol=4)
+            print(f"[finetune] cached quantized base -> {_cache}")
 
     tcfg = TrainConfig(
         objective=objective, learning_rate=cfg.learning_rate,
@@ -248,6 +314,16 @@ def finetune(cfg: FinetuneConfig) -> dict:
         base_s = shard_params(base, mesh)
         train_s = shard_params(trainables, mesh)
         state = create_train_state(base_s, train_s, tcfg, jax.random.PRNGKey(2))
+        # Homogeneous mesh placement: tx.init leaves optimizer scalars
+        # (count) and the step counter on the default device; restoring a
+        # checkpoint against that template commits them single-device, which
+        # deadlocks/errors against mesh-wide params in multi-process runs.
+        # Put moments under the param sharding rules and scalars replicated.
+        state = TrainState(
+            state.base_params, state.trainables,
+            shard_params(state.opt_state, mesh),
+            put_global(state.step, NamedSharding(mesh, P())),
+            put_global(state.rng, NamedSharding(mesh, P())))
 
         ckpt_dir = os.path.join(run_dir, "ckpt")
         if cfg.resume:
@@ -278,7 +354,9 @@ def finetune(cfg: FinetuneConfig) -> dict:
             micro0 = step0 * max(cfg.grad_accumulation_steps, 1)
             state = TrainState(state.base_params, restored["trainables"],
                                restored["opt_state"],
-                               jnp.asarray(micro0, jnp.int32), state.rng)
+                               put_global(np.asarray(micro0, np.int32),
+                                          NamedSharding(mesh, P())),
+                               state.rng)
             print(f"[finetune] resumed at gradient step {step0}")
 
         # === Data ===
@@ -304,16 +382,27 @@ def finetune(cfg: FinetuneConfig) -> dict:
                 shuffle_buffer_size=cfg.shuffle_buffer_size,
                 image_aug=cfg.image_aug, train=True,
                 num_images=cfg.num_images_in_input)
-        save_dataset_statistics(stats, run_dir)
+        if is_primary:
+            save_dataset_statistics(stats, run_dir)
 
         collator = PaddedCollatorForActionPrediction(
             pad_token_id=model_cfg.pad_token_id,
             max_length=cfg.seq_bucket or None)
-        batches = batch_iterator(dataset, cfg.batch_size, collator)
+        # batch_size is GLOBAL; each process assembles its local share and
+        # DevicePrefetcher stitches global arrays (SPMD data loading).
+        assert cfg.batch_size % n_proc == 0, \
+            f"global batch {cfg.batch_size} must divide process count {n_proc}"
+        assert n_proc == 1 or cfg.seq_bucket > 0, \
+            "multihost requires --seq_bucket: auto length-bucketing is " \
+            "per-process and the padded lengths would diverge across the " \
+            "SPMD program (every process must build identically-shaped " \
+            "global batches)"
+        batches = batch_iterator(dataset, cfg.batch_size // n_proc, collator)
 
-        # === Trackers ===
-        trackers = [JSONLinesTracker(run_dir, run_id)]
-        if cfg.wandb_entity != "your-wandb-entity":
+        # === Trackers === (host-side IO is primary-process only; every
+        # process still computes the replicated metric scalars)
+        trackers = [JSONLinesTracker(run_dir, run_id)] if is_primary else []
+        if is_primary and cfg.wandb_entity != "your-wandb-entity":
             trackers.append(WeightsBiasesTracker(
                 run_dir, run_id, project=cfg.wandb_project,
                 entity=cfg.wandb_entity, config=dataclasses.asdict(cfg)))
@@ -321,9 +410,12 @@ def finetune(cfg: FinetuneConfig) -> dict:
 
         # === Compiled step ===
         tx = make_optimizer(tcfg)
+        # Donate the state: without aliasing, the updated TrainState is a
+        # SECOND copy of the int8 base + fp32 optimizer (~5 GB at 7B) during
+        # the step — the difference between fitting and OOMing one v5e chip.
         step_fn = jax.jit(lambda st, bt: train_step(
             st, bt, model_cfg, platform, tcfg, tx=tx,
-            use_flash=cfg.use_flash_attention))
+            use_flash=cfg.use_flash_attention), donate_argnums=(0,))
         if cfg.use_diffusion:
             # Periodic reverse-diffusion sampling on the training batch
             # (reference run_diffusion_sampling every diffusion_sample_freq
@@ -424,15 +516,27 @@ def finetune(cfg: FinetuneConfig) -> dict:
                     prune_old_steps, wait_for_checkpoints)
 
                 wait_for_checkpoints()
-                prune_old_steps(ckpt_dir)
+                if is_primary:
+                    prune_old_steps(ckpt_dir)
             else:
                 chkpt_dir = f"{run_dir}--{grad_step}_chkpt"
                 label = str(grad_step)
+            # Gather trainables to host COLLECTIVELY (all processes must
+            # participate), then only the primary writes the reference-format
+            # exports below.
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+
+                host_tr = multihost_utils.process_allgather(
+                    state.trainables, tiled=True)
+            else:
+                host_tr = jax.device_get(state.trainables)
+            if not is_primary:
+                return
             os.makedirs(chkpt_dir, exist_ok=True)
             save_dataset_statistics(stats, chkpt_dir)
             print(f"[finetune] saved checkpoint for step {grad_step}")
 
-            host_tr = jax.device_get(state.trainables)
             from openvla_oft_tpu.training.checkpoint import export_module_pt
 
             for mod in ("action_head", "proprio_projector",
@@ -459,6 +563,12 @@ def finetune(cfg: FinetuneConfig) -> dict:
                 from openvla_oft_tpu.utils.hf_import import (
                     export_openvla_checkpoint)
 
+                if n_proc > 1 and not os.path.isdir(cfg.vla_path):
+                    print("[finetune] skipping merged export under multihost: "
+                          "the sharded base would need a full cross-host "
+                          "gather; merge offline with "
+                          "merge_lora_weights_and_save.py")
+                    return
                 if cfg.quantize_base:
                     if not os.path.isdir(cfg.vla_path):
                         print("[finetune] skipping merged export: base is "
@@ -466,6 +576,17 @@ def finetune(cfg: FinetuneConfig) -> dict:
                               "checkpoint to re-merge against; use "
                               "merge_lora_weights_and_save.py offline")
                         return
+                    from openvla_oft_tpu.utils.hf_import import (
+                        load_openvla_checkpoint)
+
+                    _, host_base, _ = load_openvla_checkpoint(cfg.vla_path)
+                    host_base = {k: host_base[k] for k in
+                                 ("llm", "vision_backbone", "projector")}
+                elif n_proc > 1:
+                    # primary-only context: cannot touch the cross-host
+                    # sharded base here (collectives would deadlock) —
+                    # reload from the checkpoint dir instead (guarded
+                    # isdir above).
                     from openvla_oft_tpu.utils.hf_import import (
                         load_openvla_checkpoint)
 
@@ -506,7 +627,7 @@ def finetune(cfg: FinetuneConfig) -> dict:
                 metrics.commit(**{k: float(v) for k, v in dm.items()})
             if grad_step % cfg.wandb_log_freq == 0 and (G == 1 or at_boundary):
                 smoothed = metrics.push(grad_step)
-                if grad_step % (cfg.wandb_log_freq * 10) == 0:
+                if is_primary and grad_step % (cfg.wandb_log_freq * 10) == 0:
                     print(f"[step {grad_step}] " + " ".join(
                         f"{k}={v:.4f}" for k, v in sorted(smoothed.items())))
             if cfg.use_val_set and at_boundary \

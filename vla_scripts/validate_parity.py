@@ -49,14 +49,22 @@ class ParityConfig:
     # Day-one chaining (PARITY_RUNBOOK.md: one command from import to bench):
     calibrate_int8: bool = False           # re-run int8 calibration on PASS
     run_bench: bool = False                # run bench.py measurement on PASS
+    full: bool = False                     # --full True = the day-one command:
+                                           # calibrate + bench on PASS
+    report: Optional[str] = None           # write a JSON parity report here
+                                           # (default <checkpoint>/parity_report.json)
 
 
 def _report(name: str, ours: np.ndarray, ref: Optional[np.ndarray],
-            atol: float) -> bool:
+            atol: float, sink: Optional[list] = None) -> bool:
     stats = (f"shape={tuple(ours.shape)} mean={ours.mean():+.4f} "
              f"std={ours.std():.4f} absmax={np.abs(ours).max():.4f}")
+    rec = {"stage": name, "shape": list(ours.shape), "atol": atol}
     if ref is None:
         print(f"  [stats] {name}: {stats}")
+        rec.update(status="stats-only", ok=True)
+        if sink is not None:
+            sink.append(rec)
         return True
     if tuple(ours.shape) != tuple(ref.shape):
         # Shape drift (e.g. a tokenizer emitting one extra merge) is the most
@@ -64,11 +72,18 @@ def _report(name: str, ours: np.ndarray, ref: Optional[np.ndarray],
         # broadcast so later stages still run.
         print(f"  [FAIL] {name}: shape mismatch ours={tuple(ours.shape)} "
               f"ref={tuple(ref.shape)} {stats}")
+        rec.update(status="shape-mismatch", ok=False,
+                   ref_shape=list(ref.shape))
+        if sink is not None:
+            sink.append(rec)
         return False
     err = np.abs(ours.astype(np.float32) - ref.astype(np.float32)).max()
     ok = err <= atol
     print(f"  [{'OK ' if ok else 'FAIL'}] {name}: max|Δ|={err:.5f} "
           f"(atol {atol}) {stats}")
+    rec.update(status="compared", ok=bool(ok), max_abs_err=float(err))
+    if sink is not None:
+        sink.append(rec)
     return ok
 
 
@@ -132,12 +147,17 @@ def validate(cfg: ParityConfig) -> bool:
     model_cfg = dc.replace(model_cfg,
                            num_images_in_input=cfg.num_images_in_input)
     ok = True
+    stages: list = []
+    gelu_choice = None
+
+    def report(name, ours, ref, atol):
+        return _report(name, ours, ref, atol, sink=stages)
 
     print("[2/5] tokenizer / prompt")
     tokenizer = _try_tokenizer(cfg.checkpoint)
     ids, mask = prepare_prompt_ids(tokenizer, task, bucket=64)
     real_ids = ids[mask.astype(bool)]
-    ok &= _report("prompt_ids", real_ids.astype(np.float32),
+    ok &= report("prompt_ids", real_ids.astype(np.float32),
                   refs.get("prompt_ids"), atol=0.0)
 
     print("[3/5] pixel pipeline")
@@ -146,7 +166,7 @@ def validate(cfg: ParityConfig) -> bool:
         images.append(obs["wrist_image"])
     pixels = prepare_images_for_policy(images, model_cfg,
                                        center_crop=cfg.center_crop)
-    ok &= _report("pixels", pixels, refs.get("pixels"), cfg.atol)
+    ok &= report("pixels", pixels, refs.get("pixels"), cfg.atol)
 
     print("[4/5] vision features + projector")
     feats = np.asarray(vision_backbone_forward(
@@ -171,10 +191,11 @@ def validate(cfg: ParityConfig) -> bool:
                   f"{'keep ' + act_a if err_a <= err_b else 'SWITCH TO ' + act_b}")
             if err_b < err_a:
                 model_cfg, feats = flipped_cfg, feats_b
-    ok &= _report("vit_features", feats, ref_feats, cfg.atol)
+            gelu_choice = model_cfg.vision_configs[-1].act
+    ok &= report("vit_features", feats, ref_feats, cfg.atol)
     proj = np.asarray(vision_projector(params["projector"],
                                        jnp.asarray(feats)), np.float32)
-    ok &= _report("projected_patches", proj, refs.get("projected_patches"),
+    ok &= report("projected_patches", proj, refs.get("projected_patches"),
                   cfg.atol)
 
     print("[5/5] end-to-end action chunk (eval API)")
@@ -236,10 +257,34 @@ def validate(cfg: ParityConfig) -> bool:
                              action_head=action_head,
                              proprio_projector=proprio_projector,
                              noisy_action_projector=noisy_projector)
-    ok &= _report("actions", np.asarray(actions), refs.get("actions"), cfg.atol)
+    ok &= report("actions", np.asarray(actions), refs.get("actions"), cfg.atol)
 
     print("PARITY:", "PASS" if ok else "FAIL")
 
+    # Machine-readable report (the day-one artifact PARITY_RUNBOOK.md asks
+    # the operator to attach): per-stage outcomes + the auto-selected SigLIP
+    # GELU variant + the head/proprio wiring that actually ran.
+    import json
+    import os
+
+    report_path = cfg.report or (
+        os.path.join(cfg.checkpoint, "parity_report.json")
+        if os.path.isdir(cfg.checkpoint) else "parity_report.json")
+    with open(report_path, "w") as f:
+        json.dump({
+            "pass": bool(ok),
+            "checkpoint": cfg.checkpoint,
+            "reference_outputs": cfg.reference_outputs,
+            "stages": stages,
+            "siglip_gelu": gelu_choice,
+            "head": head,
+            "use_proprio": bool(use_proprio),
+            "atol": cfg.atol,
+        }, f, indent=2)
+    print(f"parity report -> {report_path}")
+
+    if cfg.full:
+        cfg = dataclasses.replace(cfg, calibrate_int8=True, run_bench=True)
     if ok and cfg.calibrate_int8:
         print("[+] int8 re-calibration (ops/quant_calibrate.py)")
         from openvla_oft_tpu.ops.quant_calibrate import (
