@@ -252,6 +252,44 @@ def _mlp(mlp: Params, xm: jnp.ndarray, collect_act: bool = False):
     return y
 
 
+def _has_int4(layers: Params) -> bool:
+    """True when any linear in the stacked layer tree is int4-packed."""
+    def rec(d):
+        return any(("kernel_q4" in v or rec(v)) if isinstance(v, dict)
+                   else False for v in d.values())
+    return rec(layers)
+
+
+def _index_layer(layers: Params, i: jnp.ndarray) -> Params:
+    """Per-layer params for a by-index scan step, int4-aware.
+
+    Non-int4 leaves are dynamic-sliced at `i` (XLA fuses the slice into the
+    consuming matmul — the proven body_by_index pattern above). int4-packed
+    linears instead KEEP their stacked (L, in/2, out) leaves and gain a
+    "layer_idx" entry: ops/quant.py::int4_linear routes them to the
+    scalar-prefetch Pallas kernel (ops/int4_matmul.py), which streams weight
+    blocks straight out of the stacked HBM buffer. Slicing them here would
+    materialize a per-layer copy (custom calls can't fuse dynamic-slice),
+    tripling the decode step's weight traffic — measured 23.1 vs 12.5 ms on
+    v5e before this path existed."""
+    def rec(d):
+        out = {}
+        for name, v in d.items():
+            if isinstance(v, dict):
+                if "kernel_q4" in v:
+                    out[name] = {leaf_name: (leaf if leaf_name in
+                                             ("kernel_q4", "scale_w4")
+                                             else leaf[i])
+                                 for leaf_name, leaf in v.items()}
+                    out[name]["layer_idx"] = i
+                else:
+                    out[name] = rec(v)
+            else:
+                out[name] = v[i]
+        return out
+    return rec(layers)
+
+
 def llama_model(
     params: Params,
     cfg: LlamaConfig,
@@ -474,9 +512,7 @@ def llama_prefill(
 
     x = inputs_embeds
 
-    def body(carry, layer_params):
-        x = carry
-        p = layer_params
+    def step(x, p):
         xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
         q, k, v = _qkv_proj(p["attn"], cfg, xa)
         q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
@@ -486,7 +522,14 @@ def llama_prefill(
         return x + _mlp(p["mlp"], xm), (k.astype(cache.k.dtype),
                                         v.astype(cache.v.dtype))
 
-    x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
+    if _has_int4(params["layers"]):
+        L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+        x, (ks, vs) = jax.lax.scan(
+            lambda carry, i: step(carry, _index_layer(params["layers"], i)),
+            x, jnp.arange(L))
+    else:
+        x, (ks, vs) = jax.lax.scan(lambda carry, p: step(carry, p),
+                                   x, params["layers"])
     new_cache = KVCache(
         k=jax.lax.dynamic_update_slice(cache.k, ks, (0, 0, 0, 0, 0)),
         v=jax.lax.dynamic_update_slice(cache.v, vs, (0, 0, 0, 0, 0)),
@@ -520,9 +563,7 @@ def llama_suffix_forward(
 
     x = suffix_embeds
 
-    def body(carry, inputs):
-        x = carry
-        p, pk, pv = inputs
+    def step(x, p, pk, pv):
         xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
         q, k, v = _qkv_proj(p["attn"], cfg, xa)
         q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
@@ -531,9 +572,24 @@ def llama_suffix_forward(
         o = attention(q, keys, vals, mask=attn_mask)
         x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
         xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
-        return x + _mlp(p["mlp"], xm), None
+        return x + _mlp(p["mlp"], xm)
 
-    x, _ = jax.lax.scan(body, x, (params["layers"], prefix_k, prefix_v))
+    if _has_int4(params["layers"]):
+        # By-index scan: int4 weights stay stacked (see _index_layer).
+        L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+
+        def body_idx(carry, inputs):
+            i, pk, pv = inputs
+            return step(carry, _index_layer(params["layers"], i), pk, pv), None
+
+        x, _ = jax.lax.scan(body_idx, x,
+                            (jnp.arange(L), prefix_k, prefix_v))
+    else:
+        def body(carry, inputs):
+            p, pk, pv = inputs
+            return step(carry, p, pk, pv), None
+
+        x, _ = jax.lax.scan(body, x, (params["layers"], prefix_k, prefix_v))
     return rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
 
 
@@ -561,9 +617,7 @@ def llama_decode_step(
 
     x = token_embed
 
-    def body(carry, inputs):
-        x = carry
-        p, ck, cv = inputs
+    def step(x, p, ck, cv):
         xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
         q, k, v = _qkv_proj(p["attn"], cfg, xa)
         q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
@@ -574,6 +628,21 @@ def llama_decode_step(
         xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
         return x + _mlp(p["mlp"], xm), (ck, cv)
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    if _has_int4(params["layers"]):
+        L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+
+        def body_idx(carry, inputs):
+            i, ck, cv = inputs
+            x, kv_out = step(carry, _index_layer(params["layers"], i), ck, cv)
+            return x, kv_out
+
+        x, (ks, vs) = jax.lax.scan(body_idx, x,
+                                   (jnp.arange(L), cache.k, cache.v))
+    else:
+        def body(carry, inputs):
+            p, ck, cv = inputs
+            return step(carry, p, ck, cv)
+
+        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
     new_cache = KVCache(k=ks, v=vs, index=cache.index + 1, valid=new_valid)
     return rms_norm(params["final_norm"], x, cfg.rms_norm_eps), new_cache

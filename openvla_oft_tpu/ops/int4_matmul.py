@@ -1,0 +1,349 @@
+"""Fused int4 dequant-matmul Pallas kernel (serving decode path).
+
+Why this kernel exists: the diffusion suffix loop and AR decode are
+HBM-bound on streaming the LLM weights once per step (docs/PERFORMANCE.md,
+"Diffusion head" roofline). int8 weights floor at ~8.2 ms/step on one v5e;
+int4 halves the stream (~4.1 ms floor) — but the XLA `int4_linear` path
+(ops/quant.py) unpacks nibbles through stack+reshape at HBM precision and
+measures 258 ms/step: the unpack round-trips full-size int8/f32 tensors
+through HBM, destroying the very bandwidth the format saves.
+
+This kernel keeps the packed bytes packed across the DMA and unpacks in
+VMEM, tile by tile, overlapped with the MXU:
+
+    HBM --(int4-packed DMA)--> VMEM --(VPU nibble unpack + group dequant)
+        --> bf16 tile --(MXU)--> f32 accumulator
+
+Packing layout (shared with ops/quant.py::quantize_weight_int4): byte row i
+of `packed` holds weight rows 2i (low nibble) and 2i+1 (high nibble). The
+wrapper therefore feeds the kernel x's even and odd feature columns as two
+separate (T, K/2) operands — y = x_even @ W_even + x_odd @ W_odd — so the
+kernel never relayouts along the contraction dim: two shifts, one cast, one
+group-scale multiply, two MXU dots per tile.
+
+Group scales: quantize_weight_int4 stores (G, N) with group g along the
+original in-dim. In the even/odd split each scale row covers g/2 rows of
+each half, so the same (G, N) array serves both halves with group g2 = g/2.
+
+Reference analog: bitsandbytes 4-bit (`load_in_4bit`,
+reference openvla_utils.py:282-303) runs fused dequant CUDA kernels; this is
+the TPU-native equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xe_ref, xo_ref, pk_ref, sc_ref, out_ref, *, g2: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = pk_ref[:].astype(jnp.int32)                   # (bk2, bn)
+    # Low nibble sign-extended: <<28 then arithmetic >>28; high nibble: the
+    # int8->int32 cast already sign-extended bit 7, so >>4 is exact.
+    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
+    hi = jnp.right_shift(w, 4)
+
+    bk2, bn = w.shape
+    gb = bk2 // g2
+    sc = sc_ref[:]                                    # (gb, bn) f32
+    # Dequantized tiles match the x operand dtype: bf16 on TPU (MXU);
+    # f32 under interpret mode, whose CPU DotThunk can't mix bf16 -> f32.
+    dot_dtype = xe_ref.dtype
+    # Leading-dim split (bk2, bn) -> (gb, g2, bn) is layout-free (g2 is a
+    # multiple of the sublane tile); the scale broadcast fuses on the VPU.
+    lo_f = (lo.astype(jnp.float32).reshape(gb, g2, bn) * sc[:, None, :]
+            ).reshape(bk2, bn).astype(dot_dtype)
+    hi_f = (hi.astype(jnp.float32).reshape(gb, g2, bn) * sc[:, None, :]
+            ).reshape(bk2, bn).astype(dot_dtype)
+
+    acc = jnp.dot(xe_ref[:], lo_f, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xo_ref[:], hi_f, preferred_element_type=jnp.float32)
+    out_ref[:] += acc
+
+
+def _pad_axis(a: jnp.ndarray, axis: int, to: int) -> jnp.ndarray:
+    pad = (-a.shape[axis]) % to
+    if not pad:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k2", "block_n",
+                                             "interpret"))
+def _int4_matmul_fused_2d(x2: jnp.ndarray, packed: jnp.ndarray,
+                          scales: jnp.ndarray, *, block_k2: int,
+                          block_n: int, interpret: bool) -> jnp.ndarray:
+    t, k_dim = x2.shape
+    k2, n = packed.shape
+    g_count = scales.shape[0]
+    g2 = k2 // g_count                                 # even/odd-half group
+    assert g_count * g2 == k2, (scales.shape, packed.shape)
+
+    # Block sizes: bk2 must hold whole scale groups (g2) AND satisfy both
+    # roles it plays — lane dim of the bf16 x-blocks (x128) and sublane dim
+    # of the int8 packed blocks (x32, subsumed by x128); bn is lanes (x128).
+    import math
+
+    unit = math.lcm(g2, 128)
+    bk2 = max(unit, (min(block_k2, k2) // unit) * unit)
+    bn = min(block_n, -(-n // 128) * 128)
+
+    dot_dtype = jnp.float32 if interpret else jnp.bfloat16
+    xe = _pad_axis(x2[:, 0::2].astype(dot_dtype), 1, bk2)
+    xo = _pad_axis(x2[:, 1::2].astype(dot_dtype), 1, bk2)
+    tp = max(16, -(-t // 16) * 16)                     # bf16 sublane tile
+    bt = min(tp, 512)                                  # VMEM cap on big T
+    tp = -(-tp // bt) * bt
+    xe = _pad_axis(xe, 0, tp)
+    xo = _pad_axis(xo, 0, tp)
+    pk = _pad_axis(_pad_axis(packed, 0, bk2), 1, bn)   # zero nibbles -> 0
+    sc = _pad_axis(_pad_axis(scales, 0, bk2 // g2), 1, bn)
+
+    k2p, np_ = pk.shape
+    grid = (tp // bt, np_ // bn, k2p // bk2)           # k innermost: accum
+    gb = bk2 // g2
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, g2=g2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, bk2), lambda ti, i, j: (ti, j)),
+            pl.BlockSpec((bt, bk2), lambda ti, i, j: (ti, j)),
+            pl.BlockSpec((bk2, bn), lambda ti, i, j: (j, i)),
+            pl.BlockSpec((gb, bn), lambda ti, i, j: (j, i)),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda ti, i, j: (ti, i)),
+        out_shape=jax.ShapeDtypeStruct((tp, np_), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * tp * k2p * np_,
+            bytes_accessed=k2p * np_ + xe.size * 2 * 2 + tp * np_ * 4,
+            transcendentals=0,
+        ),
+    )(xe, xo, pk, sc)
+    return out[:t, :n]
+
+
+@jax.custom_vjp
+def int4_matmul_fused(x: jnp.ndarray, packed: jnp.ndarray,
+                      scales: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ dequant(packed, scales) with the dequant fused in VMEM.
+
+    x: (..., T, K) float; packed: (K/2, N) int8 (quantize_weight_int4
+    layout); scales: (G, N) float, G = K // group. Returns (..., T, N) f32.
+    Backward (training) differentiates through the dequantized weight in
+    plain XLA — the kernel is a serving-path forward.
+    """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    interpret = jax.devices()[0].platform not in ("tpu",)
+    out = _int4_matmul_fused_2d(x2, packed, scales.astype(jnp.float32),
+                                block_k2=512, block_n=512,
+                                interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def _fused_fwd(x, packed, scales):
+    return (int4_matmul_fused(x, packed, scales),
+            (packed, scales, jnp.zeros((0,), x.dtype)))
+
+
+def _fused_bwd(res, g):
+    packed, scales, x_proto = res
+    from openvla_oft_tpu.ops.quant import _unpack_int4
+
+    q = _unpack_int4(packed).astype(jnp.float32)       # (K, N)
+    k_dim, n = q.shape
+    groups = scales.shape[0]
+    w = (q.reshape(groups, k_dim // groups, n)
+         * scales.astype(jnp.float32)[:, None, :]).reshape(k_dim, n)
+    gx = jax.lax.dot_general(
+        g.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_proto.dtype)
+    import numpy as _np
+
+    return (gx, _np.zeros(packed.shape, jax.dtypes.float0),
+            jnp.zeros_like(scales))
+
+
+int4_matmul_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# === Stacked-weight variant (scan-resident decode layers) ====================
+#
+# Inside `lax.scan` over a stacked (L, K/2, N) weight, feeding the 2D kernel
+# the per-layer slice forces XLA to MATERIALIZE that slice as a copy (custom
+# calls can't fuse a dynamic-slice into their operands), so each step pays
+# slice-read + copy-write + kernel-read = 3x the int4 bytes — measured
+# 23.1 ms/step vs int8's 12.5 on v5e, despite the 2D kernel matching int8
+# when handed an unstacked weight. This variant instead passes the WHOLE
+# stacked buffer to `pallas_call` and prefetches the layer index as a
+# scalar; the BlockSpec index map reads (layer, j, i) blocks straight out
+# of the stacked HBM array. Zero copies: the weight stream is the true
+# int4 footprint.
+
+
+def _kernel_stacked(layer_ref, xe_ref, xo_ref, pk_ref, sc_ref, out_ref,
+                    *, g2: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = pk_ref[0].astype(jnp.int32)                   # (bk2, bn)
+    lo = jnp.right_shift(jnp.left_shift(w, 28), 28)
+    hi = jnp.right_shift(w, 4)
+
+    bk2, bn = w.shape
+    gb = bk2 // g2
+    sc = sc_ref[0]                                    # (gb, bn) f32
+    dot_dtype = xe_ref.dtype
+    lo_f = (lo.astype(jnp.float32).reshape(gb, g2, bn) * sc[:, None, :]
+            ).reshape(bk2, bn).astype(dot_dtype)
+    hi_f = (hi.astype(jnp.float32).reshape(gb, g2, bn) * sc[:, None, :]
+            ).reshape(bk2, bn).astype(dot_dtype)
+
+    acc = jnp.dot(xe_ref[:], lo_f, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xo_ref[:], hi_f, preferred_element_type=jnp.float32)
+    out_ref[:] += acc
+
+
+def _stacked_blocks(k2: int, n: int, g2: int):
+    """Largest (bk2, bn) that divide (k2, n) without padding the stacked
+    weight (padding would copy the whole (L, ...) buffer — the exact cost
+    this kernel exists to avoid). Returns None when no legal tiling exists
+    (caller falls back to slice + XLA dequant)."""
+    import math
+
+    unit = math.lcm(g2, 128)  # whole scale groups + int8 sublane/lane tiles
+    if k2 % unit or n % 128:
+        return None
+    bk2 = 0
+    for mult in range(min(k2 // unit, 2048 // unit), 0, -1):
+        cand = unit * mult
+        if k2 % cand == 0:
+            bk2 = cand
+            break
+    if not bk2:
+        return None
+    bn = 0
+    for mult in range(min(n // 128, 4), 0, -1):
+        cand = 128 * mult
+        if n % cand == 0:
+            bn = cand
+            break
+    return (bk2, bn) if bn else None
+
+
+def supports_stacked_fused(packed_shape, scales_shape) -> bool:
+    """True when the (L, K/2, N) packing admits a no-padding tiling."""
+    if len(packed_shape) != 3:
+        return False
+    _, k2, n = packed_shape
+    g2 = k2 // scales_shape[-2]
+    return _stacked_blocks(k2, n, g2) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4_matmul_stacked_2d(x2: jnp.ndarray, packed: jnp.ndarray,
+                            scales: jnp.ndarray, layer: jnp.ndarray,
+                            *, interpret: bool) -> jnp.ndarray:
+    t, k_dim = x2.shape
+    _, k2, n = packed.shape
+    g2 = k2 // scales.shape[-2]
+    bk2, bn = _stacked_blocks(k2, n, g2)
+    gb = bk2 // g2
+
+    dot_dtype = jnp.float32 if interpret else jnp.bfloat16
+    xe = _pad_axis(x2[:, 0::2].astype(dot_dtype), 1, bk2)
+    xo = _pad_axis(x2[:, 1::2].astype(dot_dtype), 1, bk2)
+    tp = max(16, -(-t // 16) * 16)
+    bt = min(tp, 512)
+    tp = -(-tp // bt) * bt
+    xe = _pad_axis(xe, 0, tp)
+    xo = _pad_axis(xo, 0, tp)
+
+    grid = (tp // bt, n // bn, k2 // bk2)              # k innermost: accum
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked, g2=g2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bt, bk2), lambda ti, i, j, l: (ti, j)),
+                pl.BlockSpec((bt, bk2), lambda ti, i, j, l: (ti, j)),
+                pl.BlockSpec((1, bk2, bn), lambda ti, i, j, l: (l[0], j, i)),
+                pl.BlockSpec((1, gb, bn), lambda ti, i, j, l: (l[0], j, i)),
+            ],
+            out_specs=pl.BlockSpec((bt, bn), lambda ti, i, j, l: (ti, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((tp, n), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * tp * k2 * n,
+            bytes_accessed=k2 * n + xe.size * 2 * 2 + tp * n * 4,
+            transcendentals=0,
+        ),
+    )(jnp.atleast_1d(layer).astype(jnp.int32), xe, xo, packed,
+      scales.astype(jnp.float32))
+    return out[:t, :n]
+
+
+@jax.custom_vjp
+def int4_matmul_fused_stacked(x: jnp.ndarray, packed: jnp.ndarray,
+                              scales: jnp.ndarray,
+                              layer: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ dequant(packed[layer], scales[layer]), layer a traced scalar.
+
+    x: (..., T, K); packed: (L, K/2, N) int8; scales: (L, G, N); layer:
+    scalar int32 (e.g. the index of a by-index layer scan — see
+    models/llama.py). Blocks stream directly from the stacked HBM buffer
+    via scalar-prefetch indexing; no per-layer slice is materialized.
+    Caller must check `supports_stacked_fused` first."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    interpret = jax.devices()[0].platform not in ("tpu",)
+    out = _int4_matmul_stacked_2d(x2, packed, scales, layer,
+                                  interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def _stacked_fwd(x, packed, scales, layer):
+    return (int4_matmul_fused_stacked(x, packed, scales, layer),
+            (packed, scales, layer, jnp.zeros((0,), x.dtype)))
+
+
+def _stacked_bwd(res, g):
+    packed, scales, layer, x_proto = res
+    from openvla_oft_tpu.ops.quant import _unpack_int4
+    import numpy as _np
+
+    q = _unpack_int4(packed[layer]).astype(jnp.float32)   # (K, N)
+    k_dim, n = q.shape
+    groups = scales.shape[-2]
+    w = (q.reshape(groups, k_dim // groups, n)
+         * scales[layer].astype(jnp.float32)[:, None, :]).reshape(k_dim, n)
+    gx = jax.lax.dot_general(
+        g.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_proto.dtype)
+    return (gx, _np.zeros(packed.shape, jax.dtypes.float0),
+            jnp.zeros_like(scales),
+            _np.zeros(jnp.shape(layer), jax.dtypes.float0))
+
+
+int4_matmul_fused_stacked.defvjp(_stacked_fwd, _stacked_bwd)

@@ -220,16 +220,57 @@ def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
 
 
 def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Dequantize group-wise int4 weights to x.dtype and matmul."""
-    q = _unpack_int4(p["kernel_q4"]).astype(jnp.float32)
-    *lead, d_in, d_out = q.shape
-    groups = p["scale_w4"].shape[-2]
-    w = (q.reshape(*lead, groups, d_in // groups, d_out)
-         * p["scale_w4"][..., :, None, :]).reshape(*lead, d_in, d_out)
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    """y = x @ dequant(int4 weights) (+ bias).
+
+    2D kernels (incl. per-layer slices inside the llama scan) take the fused
+    Pallas path (ops/int4_matmul.py): packed bytes stay packed across the
+    HBM->VMEM DMA and unpack on the VPU tile-by-tile, so the weight stream
+    is half the int8 path's. The XLA fallback below unpacks the WHOLE weight
+    at HBM precision first — measured 258 ms vs 12.5 ms int8 for one decode
+    step on v5e (docs/PERFORMANCE.md roofline) — and remains for stacked
+    (L, in/2, out) kernels mapped outside a scan and for large-row batches
+    (>1024 rows, e.g. training prefill), where the matmul is MXU-bound and
+    XLA's one-shot dequant amortizes better than per-row-block re-dequant.
+    """
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if "layer_idx" in p and p["kernel_q4"].ndim == 3:
+        # Scan-resident stacked weight + traced layer index (models/llama.py
+        # `_index_layer`): stream blocks straight from the stacked HBM
+        # buffer via scalar prefetch — never materialize the layer slice.
+        from openvla_oft_tpu.ops.int4_matmul import (
+            int4_matmul_fused_stacked, supports_stacked_fused)
+
+        if rows <= 1024 and supports_stacked_fused(p["kernel_q4"].shape,
+                                                   p["scale_w4"].shape):
+            y = int4_matmul_fused_stacked(x, p["kernel_q4"], p["scale_w4"],
+                                          p["layer_idx"])
+        else:
+            y = _int4_matmul_xla(x, p["kernel_q4"][p["layer_idx"]],
+                                 p["scale_w4"][p["layer_idx"]])
+    elif p["kernel_q4"].ndim == 2 and rows <= 1024:
+        from openvla_oft_tpu.ops.int4_matmul import int4_matmul_fused
+
+        y = int4_matmul_fused(x, p["kernel_q4"], p["scale_w4"])
+    else:
+        y = _int4_matmul_xla(x, p["kernel_q4"], p["scale_w4"])
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def _int4_matmul_xla(x: jnp.ndarray, packed: jnp.ndarray,
+                     scales: jnp.ndarray) -> jnp.ndarray:
+    """Unpack-then-dot fallback: dequantizes the WHOLE weight first (round
+    trips full-size tensors through HBM). Kept for stacked (L, in/2, out)
+    kernels mapped outside a scan and MXU-bound large-row batches."""
+    q = _unpack_int4(packed).astype(jnp.float32)
+    *lead, d_in, d_out = q.shape
+    groups = scales.shape[-2]
+    w = (q.reshape(*lead, groups, d_in // groups, d_out)
+         * scales[..., :, None, :]).reshape(*lead, d_in, d_out)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
 
 
 def quantize_tree_lowmem(params: Params, min_dim: int = 1024,

@@ -1,0 +1,219 @@
+"""Fused int4 dequant-matmul Pallas kernel (ops/int4_matmul.py).
+
+Parity target: `ops/quant.py::int4_linear` (the XLA unpack-then-matmul
+path) — both dequantize the same `quantize_weight_int4` packing, so outputs
+must agree to bf16-matmul tolerance. Reference analog: bitsandbytes 4-bit
+fused dequant kernels (reference openvla_utils.py:282-303).
+
+Runs in Pallas interpret mode on CPU (same numerics as the compiled TPU
+kernel modulo accumulation order).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openvla_oft_tpu.ops.int4_matmul import int4_matmul_fused
+from openvla_oft_tpu.ops.quant import (int4_linear, quantize_weight_int4,
+                                       _int4_group_for)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("t,k,n", [
+    (112, 256, 384),      # decode-suffix-like, multi k-block after padding
+    (5, 130, 64),         # odd T, k not lane-aligned (pad path), small n
+    (16, 4304 % 512 + 256, 128),  # group' < 128 via _int4_group_for
+    (600, 256, 128),      # T > 512: multi-row-block grid path
+])
+def test_fused_matches_xla_unpack(rng, t, k, n):
+    k += k % 2
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
+    x = rng.normal(size=(t, k)).astype(np.float32)
+    q = quantize_weight_int4(jnp.asarray(w))
+    ref = np.asarray(int4_linear(q, jnp.asarray(x, jnp.bfloat16)))
+    out = np.asarray(int4_matmul_fused(jnp.asarray(x, jnp.bfloat16),
+                                       q["kernel_q4"], q["scale_w4"]))
+    assert out.shape == (t, n)
+    # ref is bf16-rounded output of a bf16 matmul; the kernel keeps f32
+    # accumulators, so compare at bf16 resolution.
+    np.testing.assert_allclose(out, ref.astype(np.float32), rtol=2e-2,
+                               atol=2e-2 * np.abs(ref).max())
+
+
+def test_fused_batch_dims(rng):
+    w = rng.normal(size=(128, 64)).astype(np.float32) * 0.05
+    x = rng.normal(size=(2, 3, 128)).astype(np.float32)
+    q = quantize_weight_int4(jnp.asarray(w))
+    out = np.asarray(int4_matmul_fused(jnp.asarray(x, jnp.bfloat16),
+                                       q["kernel_q4"], q["scale_w4"]))
+    flat = np.asarray(int4_matmul_fused(
+        jnp.asarray(x.reshape(6, 128), jnp.bfloat16),
+        q["kernel_q4"], q["scale_w4"]))
+    assert out.shape == (2, 3, 64)
+    np.testing.assert_array_equal(out.reshape(6, 64), flat)
+
+
+def test_fused_grad_matches_dequant_path(rng):
+    """custom_vjp backward == grad through the explicitly dequantized W."""
+    w = rng.normal(size=(64, 32)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    q = quantize_weight_int4(jnp.asarray(w))
+    groups = q["scale_w4"].shape[0]
+    from openvla_oft_tpu.ops.quant import _unpack_int4
+
+    wd = (_unpack_int4(q["kernel_q4"]).astype(jnp.float32)
+          .reshape(groups, 64 // groups, 32)
+          * q["scale_w4"][:, None, :]).reshape(64, 32)
+
+    g_fused = jax.grad(lambda xx: jnp.sum(
+        int4_matmul_fused(xx, q["kernel_q4"], q["scale_w4"]) ** 2))(x)
+    g_ref = jax.grad(lambda xx: jnp.sum(
+        jax.lax.dot_general(xx.astype(jnp.bfloat16), wd.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_linear_dispatch_thresholds(rng):
+    """int4_linear: fused kernel for <=1024 rows, XLA dequant above —
+    both produce the same numbers (they dequantize identical packings)."""
+    w = rng.normal(size=(64, 32)).astype(np.float32) * 0.05
+    q = quantize_weight_int4(jnp.asarray(w))
+    x_small = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    x_big = jnp.asarray(rng.normal(size=(1030, 64)), jnp.float32)
+    for x in (x_small, x_big):
+        got = np.asarray(int4_linear(q, x))
+        ref = np.asarray(int4_matmul_fused(x, q["kernel_q4"], q["scale_w4"]))
+        np.testing.assert_allclose(got.astype(np.float32), ref, rtol=2e-2,
+                                   atol=2e-2 * np.abs(ref).max() + 1e-6)
+
+
+def test_stacked_matches_sliced_xla(rng):
+    """Scalar-prefetch stacked kernel == XLA dequant of the layer slice,
+    for every layer index, incl. under a lax.scan with a traced index."""
+    from openvla_oft_tpu.ops.int4_matmul import (int4_matmul_fused_stacked,
+                                                 supports_stacked_fused)
+    from openvla_oft_tpu.ops.quant import _int4_matmul_xla
+
+    L, k, n, t = 3, 512, 256, 7
+    w = rng.normal(size=(L, k, n)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(t, k)), jnp.bfloat16)
+    q = quantize_weight_int4(jnp.asarray(w))
+    assert supports_stacked_fused(q["kernel_q4"].shape, q["scale_w4"].shape)
+
+    refs = [np.asarray(_int4_matmul_xla(x, q["kernel_q4"][i],
+                                        q["scale_w4"][i]))
+            for i in range(L)]
+    for i in range(L):
+        out = np.asarray(int4_matmul_fused_stacked(
+            x, q["kernel_q4"], q["scale_w4"], jnp.asarray(i)))
+        np.testing.assert_allclose(out, refs[i], rtol=2e-2,
+                                   atol=2e-2 * np.abs(refs[i]).max())
+
+    def body(carry, i):
+        y = int4_matmul_fused_stacked(x, q["kernel_q4"], q["scale_w4"], i)
+        return carry + jnp.sum(y), y
+
+    total, ys = jax.lax.scan(body, jnp.zeros(()), jnp.arange(L))
+    for i in range(L):
+        np.testing.assert_allclose(np.asarray(ys[i]), refs[i], rtol=2e-2,
+                                   atol=2e-2 * np.abs(refs[i]).max())
+
+
+def test_stacked_support_predicate():
+    """Tilings that would require padding the stacked buffer are refused
+    (padding = whole-tree copy, the cost the kernel exists to avoid)."""
+    from openvla_oft_tpu.ops.int4_matmul import supports_stacked_fused
+
+    # d_in=4304 (SigLIP so400m MLP): group'=16 -> g2=8, K2=2152 not a
+    # multiple of lcm(8,128)=128 -> unsupported.
+    assert not supports_stacked_fused((4, 2152, 128), (4, 269, 128))
+    # 2D shape is not a stacked kernel.
+    assert not supports_stacked_fused((256, 128), (2, 128))
+    # Llama-7B decode shapes all tile cleanly.
+    assert supports_stacked_fused((32, 2048, 12288), (32, 32, 12288))
+    assert supports_stacked_fused((32, 2048, 22016), (32, 32, 22016))
+    assert supports_stacked_fused((32, 5504, 4096), (32, 86, 4096))
+
+
+def test_stacked_grad_matches_dequant(rng):
+    """custom_vjp backward through the stacked kernel == grad through the
+    explicitly dequantized layer slice."""
+    from openvla_oft_tpu.ops.int4_matmul import int4_matmul_fused_stacked
+    from openvla_oft_tpu.ops.quant import _unpack_int4
+
+    L, k, n = 2, 256, 128
+    w = rng.normal(size=(L, k, n)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(4, k)), jnp.float32)
+    q = quantize_weight_int4(jnp.asarray(w))
+    i = 1
+    groups = q["scale_w4"].shape[-2]
+    wd = (_unpack_int4(q["kernel_q4"][i]).astype(jnp.float32)
+          .reshape(groups, k // groups, n)
+          * q["scale_w4"][i][:, None, :]).reshape(k, n)
+    g_fused = jax.grad(lambda xx: jnp.sum(int4_matmul_fused_stacked(
+        xx, q["kernel_q4"], q["scale_w4"], jnp.asarray(i)) ** 2))(x)
+    g_ref = jax.grad(lambda xx: jnp.sum(
+        jax.lax.dot_general(xx.astype(jnp.bfloat16), wd.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_int4_suffix_forward_by_index_scan(rng):
+    """llama_suffix_forward with int4 layers (by-index scan, stacked
+    weights) == the sliced-scan formulation on the same quantized params."""
+    from openvla_oft_tpu.config import LlamaConfig
+    from openvla_oft_tpu.models import llama as llama_mod
+    from openvla_oft_tpu.models.llama import (init_llama_params,
+                                              llama_suffix_forward)
+    from openvla_oft_tpu.ops.quant import quantize_tree
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=512, intermediate_size=512,
+                      num_layers=2, num_heads=4, num_kv_heads=4,
+                      max_position_embeddings=128)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = dict(params)
+    params["layers"] = quantize_tree(params["layers"], min_dim=512, bits=4)
+    assert llama_mod._has_int4(params["layers"])
+
+    b, s_pre, s_suf = 1, 3, 4
+    suffix = jnp.asarray(rng.normal(size=(b, s_suf, 512)) * 0.02,
+                         jnp.float32)
+    pk = jnp.asarray(rng.normal(
+        size=(2, b, s_pre, 4, cfg.head_dim)) * 0.02, jnp.float32)
+    pv = jnp.asarray(rng.normal(
+        size=(2, b, s_pre, 4, cfg.head_dim)) * 0.02, jnp.float32)
+    pos = jnp.broadcast_to(s_pre + jnp.arange(s_suf), (b, s_suf))
+    mask = jnp.ones((b, 1, s_suf, s_pre + s_suf), bool)
+
+    out = llama_suffix_forward(params, cfg, suffix, pk, pv, pos, mask)
+
+    # Force the legacy sliced-scan path on identical quantized params.
+    orig = llama_mod._has_int4
+    llama_mod._has_int4 = lambda layers: False
+    try:
+        ref = llama_suffix_forward(params, cfg, suffix, pk, pv, pos, mask)
+    finally:
+        llama_mod._has_int4 = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-2,
+                               atol=3e-2 * np.abs(np.asarray(ref)).max())
+
+
+def test_group_adaptation_shapes():
+    """d_in=4304 (SigLIP so400m MLP) adapts to group 16; kernel accepts it."""
+    assert _int4_group_for(4304) == 16
+    w = jnp.ones((4304, 8), jnp.float32)
+    q = quantize_weight_int4(w)
+    out = int4_matmul_fused(jnp.ones((2, 4304), jnp.bfloat16),
+                            q["kernel_q4"], q["scale_w4"])
+    assert out.shape == (2, 8)
+    np.testing.assert_allclose(np.asarray(out), 4304.0, rtol=2e-2)

@@ -37,11 +37,17 @@ def _params(cfg, platform, quant=None):
         # norm folds only in full precision (docs/QUANTIZATION.md)
         params["llm"] = fuse_inference_weights(params["llm"],
                                                fold_norms=quant is None)
-        if quant == "int8":
+        if quant in ("int8", "int4"):
             from openvla_oft_tpu.ops.quant import quantize_tree
 
-            for mod in ("llm", "vision_backbone", "projector"):
-                params[mod] = quantize_tree(params[mod], min_dim=1024)
+            bits = 4 if quant == "int4" else 8
+            # int4: LLM only — the per-token decode loop is the weight-
+            # stream-bound part; vision/projector run once at prefill.
+            mods = ("llm",) if quant == "int4" else (
+                "llm", "vision_backbone", "projector")
+            for mod in mods:
+                params[mod] = quantize_tree(params[mod], min_dim=1024,
+                                            bits=bits)
         return params
 
     shapes = jax.eval_shape(build)
@@ -55,7 +61,7 @@ from vla_scripts.bench_timing import measure as _measure
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=8)
-    ap.add_argument("--quant", default=None, choices=[None, "int8"])
+    ap.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
     args = ap.parse_args()
 
     from openvla_oft_tpu.config import OpenVLAConfig

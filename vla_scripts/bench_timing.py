@@ -28,10 +28,14 @@ def sync(x) -> float:
 
 
 def measure(fn, args, k: int = 20, label: Optional[str] = None,
-            rtt_samples: int = 5) -> Tuple[float, float]:
+            rtt_samples: int = 5, repeats: int = 1) -> Tuple[float, float]:
     """JIT `fn`, run it twice warm, then time k queued executions minus the
     tunnel RTT. Returns (ms_per_call, compile_seconds); prints a
-    `label  ...ms` line when `label` is given."""
+    `label  ...ms` line when `label` is given.
+
+    `repeats` re-times the whole k-call loop that many times and keeps the
+    MINIMUM — the right statistic against the tunnel's additive RTT jitter,
+    which at sub-ms per-call figures can otherwise swing results 3-5x."""
     jfn = jax.jit(fn)
     t0 = time.perf_counter()
     sync(jfn(*args))
@@ -43,13 +47,16 @@ def measure(fn, args, k: int = 20, label: Optional[str] = None,
         sync(jnp.zeros(()))
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
-    gc.collect()  # keep a GC pause out of the timed loop
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(k):
-        out = jfn(*args)
-    sync(out)
-    ms = (time.perf_counter() - t0 - rtt) / k * 1e3
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        gc.collect()  # keep a GC pause out of the timed loop
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = jfn(*args)
+        sync(out)
+        best = min(best, (time.perf_counter() - t0 - rtt) / k * 1e3)
+    ms = best
     if label is not None:
         print(f"{label:36s} {ms:8.2f} ms")
     return ms, compile_s
