@@ -110,7 +110,7 @@ def main():
         # Only configs entry() actually implements — anything else would
         # silently measure an unquantized, joint-ViT-disabled model while
         # labeling the output with the forced name.
-        valid = ("bf16", "int8", "int8_vit")
+        valid = ("bf16", "int8", "int8_vit", "int4")
         if forced not in valid:
             sys.exit(f"OPENVLA_BENCH_QUANT={forced!r}: expected one of "
                      f"{valid} (bf16 = the headline full-precision config, "

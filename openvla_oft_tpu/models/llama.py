@@ -383,8 +383,17 @@ def llama_model(
         body = jax.checkpoint(body, prevent_cse=False,
                               policy=resolve_remat_policy(remat_policy))
 
+    has_int4 = _has_int4(params["layers"])
+
     if out_window is None:
-        x, _ = jax.lax.scan(body, x, params["layers"], unroll=unroll)
+        if has_int4:
+            # By-index scan keeps int4 kernels stacked (see _index_layer).
+            L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+            x, _ = jax.lax.scan(
+                lambda c, i: body(c, _index_layer(params["layers"], i)),
+                x, jnp.arange(L), unroll=unroll)
+        else:
+            x, _ = jax.lax.scan(body, x, params["layers"], unroll=unroll)
         return rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
 
     # Sliced final layer: scan layers [0, L-1), then run layer L-1 with
@@ -396,7 +405,8 @@ def llama_model(
     L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
 
     def body_by_index(carry, i):
-        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+        lp = (_index_layer(params["layers"], i) if has_int4 else
+              jax.tree_util.tree_map(lambda a: a[i], params["layers"]))
         return body(carry, lp)
 
     x, _ = jax.lax.scan(body_by_index, x, jnp.arange(L - 1), unroll=unroll)

@@ -226,19 +226,17 @@ def _stacked_blocks(k2: int, n: int, g2: int):
     """Largest (bk2, bn) that divide (k2, n) without padding the stacked
     weight (padding would copy the whole (L, ...) buffer — the exact cost
     this kernel exists to avoid). Returns None when no legal tiling exists
-    (caller falls back to slice + XLA dequant)."""
+    (caller falls back to slice + XLA dequant).
+
+    TPU lowering requires every block's last two dims be (8, 128)-divisible
+    or equal to the full array dims; the binding constraint is the scales
+    block (1, gb, bn) with gb = bk2/g2, so bk2 must also make gb a multiple
+    of 8 — or be the WHOLE k2 (then gb == G, the full dim, e.g. llama-7B's
+    down projection where K2=5504 has no 8*g2-aligned divisor)."""
     import math
 
     unit = math.lcm(g2, 128)  # whole scale groups + int8 sublane/lane tiles
     if k2 % unit or n % 128:
-        return None
-    bk2 = 0
-    for mult in range(min(k2 // unit, 2048 // unit), 0, -1):
-        cand = unit * mult
-        if k2 % cand == 0:
-            bk2 = cand
-            break
-    if not bk2:
         return None
     bn = 0
     for mult in range(min(n // 128, 4), 0, -1):
@@ -246,7 +244,22 @@ def _stacked_blocks(k2: int, n: int, g2: int):
         if n % cand == 0:
             bn = cand
             break
-    return (bk2, bn) if bn else None
+    if not bn:
+        return None
+    bk2 = 0
+    for mult in range(min(k2 // unit, 2048 // unit), 0, -1):
+        cand = unit * mult
+        if k2 % cand == 0 and (cand // g2) % 8 == 0:
+            bk2 = cand
+            break
+    if not bk2:
+        # Whole-K2 column: scales block covers the full G dim. Keep the
+        # packed block (+double buffering) under ~6 MB of VMEM.
+        if 2 * k2 * bn <= 6 * 1024 * 1024:
+            bk2 = k2
+        else:
+            return None
+    return (bk2, bn)
 
 
 def supports_stacked_fused(packed_shape, scales_shape) -> bool:
@@ -272,7 +285,9 @@ def _int4_matmul_stacked_2d(x2: jnp.ndarray, packed: jnp.ndarray,
     xe = _pad_axis(x2[:, 0::2].astype(dot_dtype), 1, bk2)
     xo = _pad_axis(x2[:, 1::2].astype(dot_dtype), 1, bk2)
     tp = max(16, -(-t // 16) * 16)
-    bt = min(tp, 512)
+    # Row-block cap scales down for whole-K2 columns (big bk2) so the two
+    # x blocks + the packed block + accumulators stay inside VMEM.
+    bt = min(tp, 512 if bk2 <= 2048 else 128)
     tp = -(-tp // bt) * bt
     xe = _pad_axis(xe, 0, tp)
     xo = _pad_axis(xo, 0, tp)
