@@ -247,6 +247,14 @@ def prismatic_forward(
     ignore = jnp.full((b, n_patch), IGNORE_INDEX, labels.dtype)
     mm_labels = jnp.concatenate([labels[:, :1], ignore, labels[:, 1:]], axis=1)
 
+    if use_flash == "auto":
+        # Same crossover the serving path encodes (predict_action_hidden):
+        # the Pallas kernel wins above ~1k multimodal rows (ALOHA S≈1169),
+        # XLA fused attention below (LIBERO S≈618). Static shape -> resolved
+        # at trace time, works identically under jax.grad/remat.
+        from openvla_oft_tpu.ops.attention import FLASH_SEQ_THRESHOLD
+
+        use_flash = mm_embeds.shape[1] >= FLASH_SEQ_THRESHOLD
     hidden = _run_llm(params["llm"], cfg.llm, mm_embeds,
                       padding_mask=mm_pad, bidir_mask=mm_bidir,
                       use_flash=use_flash, remat=remat,

@@ -236,15 +236,12 @@ def _stacked_blocks(k2: int, n: int, g2: int):
     import math
 
     unit = math.lcm(g2, 128)  # whole scale groups + int8 sublane/lane tiles
-    if k2 % unit or n % 128:
+    if k2 % unit or n % 128 or g2 % 8:
+        # g2 % 8: the kernel's (bk2,bn)->(gb,g2,bn) reshape is layout-free
+        # only when g2 is a multiple of the f32 sublane tile (advisor r4).
         return None
-    bn = 0
-    for mult in range(min(n // 128, 4), 0, -1):
-        cand = 128 * mult
-        if n % cand == 0:
-            bn = cand
-            break
-    if not bn:
+    bns = [128 * m for m in range(min(n // 128, 4), 0, -1) if n % (128 * m) == 0]
+    if not bns:
         return None
     bk2 = 0
     for mult in range(min(k2 // unit, 2048 // unit), 0, -1):
@@ -252,14 +249,20 @@ def _stacked_blocks(k2: int, n: int, g2: int):
         if k2 % cand == 0 and (cand // g2) % 8 == 0:
             bk2 = cand
             break
-    if not bk2:
-        # Whole-K2 column: scales block covers the full G dim. Keep the
-        # packed block (+double buffering) under ~6 MB of VMEM.
-        if 2 * k2 * bn <= 6 * 1024 * 1024:
-            bk2 = k2
-        else:
-            return None
-    return (bk2, bn)
+    if bk2:
+        return (bk2, bns[0])
+    # Whole-K2 column: scales block covers the full G dim (e.g. llama-7B's
+    # down projection, K2=5504 = 128*43 — no 8*g2-aligned divisor). The
+    # resident set is the packed block PLUS the two bf16 x-half blocks and
+    # the f32 accumulator, each double-buffered; budget all of them against
+    # ~10 MB of the 16 MB scoped VMEM (measured: bn=512 at K2=5504 wanted
+    # 18.6 MB on v5e and failed to compile).
+    bt = 128  # row-block cap _int4_matmul_stacked_2d uses when bk2 > 2048
+    for bn in bns:
+        vmem = 2 * (k2 * bn + 2 * 2 * bt * k2 + 4 * bt * bn)
+        if vmem <= 10 * 1024 * 1024:
+            return (k2, bn)
+    return None
 
 
 def supports_stacked_fused(packed_shape, scales_shape) -> bool:

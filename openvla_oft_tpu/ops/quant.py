@@ -231,7 +231,16 @@ def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     (L, in/2, out) kernels mapped outside a scan and for large-row batches
     (>1024 rows, e.g. training prefill), where the matmul is MXU-bound and
     XLA's one-shot dequant amortizes better than per-row-block re-dequant.
+
+    Gradient contract: int4 weights AND their group scales are frozen
+    serving/QLoRA-base artifacts — only x receives a cotangent (the fused
+    kernels' custom_vjp returns zeros for scales; the XLA path pins the same
+    semantics via stop_gradient so dispatch shape never changes gradients).
+    Quant-aware scale tuning would need a real scale cotangent in
+    int4_matmul._fused_bwd/_stacked_bwd first.
     """
+    p = dict(p)
+    p["scale_w4"] = jax.lax.stop_gradient(p["scale_w4"])
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
@@ -249,7 +258,11 @@ def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         else:
             y = _int4_matmul_xla(x, p["kernel_q4"][p["layer_idx"]],
                                  p["scale_w4"][p["layer_idx"]])
-    elif p["kernel_q4"].ndim == 2 and rows <= 1024:
+    elif (p["kernel_q4"].ndim == 2 and rows <= 1024
+          and (p["kernel_q4"].shape[0] // p["scale_w4"].shape[0]) % 8 == 0):
+        # g2 % 8 guard: the kernel's group reshape needs sublane-tiled
+        # groups (see int4_matmul._stacked_blocks); awkward d_in values
+        # (g2 < 8) fall back to the XLA dequant.
         from openvla_oft_tpu.ops.int4_matmul import int4_matmul_fused
 
         y = int4_matmul_fused(x, p["kernel_q4"], p["scale_w4"])

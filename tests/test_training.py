@@ -321,3 +321,35 @@ def test_remat_policy_unknown_name_raises():
     assert resolve_remat_policy(None) is None
     assert resolve_remat_policy("all") is None
     assert resolve_remat_policy("dots") is not None
+
+
+@pytest.mark.parametrize("threshold,expect_flash", [(10_000, False), (16, True)])
+def test_training_auto_flash_dispatch(monkeypatch, threshold, expect_flash):
+    """use_flash="auto" in the TRAINING forward resolves against
+    FLASH_SEQ_THRESHOLD from the static multimodal length — and the chosen
+    path survives jax.grad (the reference trains with flash-attn,
+    reference SETUP.md:20-24; our crossover is measured, docs/PERFORMANCE.md
+    "Flash-attention kernel: formal status")."""
+    import openvla_oft_tpu.models.prismatic as Pm
+    import openvla_oft_tpu.ops.attention as A
+    from openvla_oft_tpu.training.train_step import loss_and_metrics
+
+    monkeypatch.setattr(A, "FLASH_SEQ_THRESHOLD", threshold)
+    seen = {}
+    orig = Pm._run_llm
+
+    def spy(*args, **kw):
+        seen["use_flash"] = kw.get("use_flash")
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(Pm, "_run_llm", spy)
+
+    state, cfg = _setup("l1")
+    batch = _batch()
+    (loss, _), grads = jax.value_and_grad(loss_and_metrics, has_aux=True)(
+        state.trainables, state.base_params, batch, CFG, LIBERO, cfg,
+        jax.random.PRNGKey(0), use_flash="auto")
+    assert seen["use_flash"] is expect_flash
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g, np.float32))) for g in flat)

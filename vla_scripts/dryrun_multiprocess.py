@@ -32,6 +32,8 @@ import sys
 import tempfile
 from pathlib import Path
 
+import numpy as np
+
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 RUN_ID = "mp_dryrun"
@@ -138,8 +140,6 @@ def parent(args) -> int:
 
 
 if __name__ == "__main__":
-    import numpy as np  # noqa: F401  (parent assertions)
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--port", type=int, default=12955)

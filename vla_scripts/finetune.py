@@ -93,7 +93,12 @@ class FinetuneConfig:
     mesh_tp: int = 1
     robot_platform: Optional[str] = None          # default: sniff dataset_name
     seq_bucket: int = 0                           # 0 = auto (pad to multiple of 8)
-    use_flash_attention: bool = False
+    use_flash_attention: str = "auto"             # "auto" | "true" | "false";
+                                                  # auto = Pallas kernel iff the
+                                                  # multimodal S clears
+                                                  # FLASH_SEQ_THRESHOLD (ALOHA
+                                                  # yes, LIBERO no) — same
+                                                  # dispatch the serving path uses
     quantize_base: bool = False                   # QLoRA-style int8 frozen base
                                                   # (fits 7B LoRA on one 16 GB chip;
                                                   # straight-through bwd, ops/quant.py)
@@ -409,13 +414,17 @@ def finetune(cfg: FinetuneConfig) -> dict:
         metrics = VLAMetrics(trackers, window=max(cfg.grad_accumulation_steps, 1))
 
         # === Compiled step ===
+        # "auto" resolves inside prismatic_forward from the static multimodal
+        # length (ALOHA S≈1169 -> Pallas kernel fwd+bwd; LIBERO S≈618 -> XLA).
+        use_flash = {"true": True, "false": False}.get(
+            str(cfg.use_flash_attention).strip().lower(), "auto")
         tx = make_optimizer(tcfg)
         # Donate the state: without aliasing, the updated TrainState is a
         # SECOND copy of the int8 base + fp32 optimizer (~5 GB at 7B) during
         # the step — the difference between fitting and OOMing one v5e chip.
         step_fn = jax.jit(lambda st, bt: train_step(
             st, bt, model_cfg, platform, tcfg, tx=tx,
-            use_flash=cfg.use_flash_attention), donate_argnums=(0,))
+            use_flash=use_flash), donate_argnums=(0,))
         if cfg.use_diffusion:
             # Periodic reverse-diffusion sampling on the training batch
             # (reference run_diffusion_sampling every diffusion_sample_freq
@@ -425,7 +434,7 @@ def finetune(cfg: FinetuneConfig) -> dict:
 
             sample_fn = jax.jit(lambda st, bt, key: diffusion_sampling_metrics(
                 st.trainables, st.base_params, bt, model_cfg, platform, tcfg,
-                key, use_flash=cfg.use_flash_attention))
+                key, use_flash=use_flash))
         batch_sharding = NamedSharding(mesh, P(("dp", "fsdp")))
 
         # Validation loss (reference `run_validation`, finetune.py:678-760):
@@ -434,7 +443,7 @@ def finetune(cfg: FinetuneConfig) -> dict:
 
         val_loss_fn = jax.jit(lambda st, bt, key: loss_and_metrics(
             st.trainables, st.base_params, bt, model_cfg, platform, tcfg, key,
-            use_flash=cfg.use_flash_attention))
+            use_flash=use_flash))
 
         # Build the validation stream ONCE (the reference constructs its
         # val_dataloader once, finetune.py:678-760 — rebuilding the tf.data
