@@ -150,12 +150,56 @@ def main():
             print(f"# int8 measurement failed, bf16 headline: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    if os.environ.get("OPENVLA_BENCH_EXTRA") == "1":
+        _extra_rows()
+
     print(json.dumps({
         "metric": "action_chunk_latency",
         "value": round(headline, 5),
         "unit": "s",
         "vs_baseline": round(A100_CHUNK_LATENCY_S / headline, 3),
     }))
+
+
+def _extra_rows():
+    """Opt-in (OPENVLA_BENCH_EXTRA=1) regression rows for the non-headline
+    geometries docs/PERFORMANCE.md publishes: ALOHA serve (3 cams, FiLM,
+    flash-auto) and the diffusion-head prefix-KV loop. Each row runs in its
+    own subprocess so it gets the whole HBM and a clean compile cache; rows
+    print to stderr — the stdout contract stays ONE JSON line."""
+    import subprocess
+
+    gc.collect()
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def run(label, cmd, env_extra=None, pattern=None):
+        env = dict(os.environ)
+        env.pop("OPENVLA_BENCH_EXTRA", None)  # no recursion
+        env.update(env_extra or {})
+        try:
+            r = subprocess.run(cmd, cwd=repo, env=env, capture_output=True,
+                               text=True, timeout=2400)
+            lines = [ln for ln in (r.stdout + r.stderr).splitlines()
+                     if ln.strip() and (pattern is None or pattern in ln)]
+            tail = lines[-1] if lines else f"exit={r.returncode}, no output"
+            print(f"# extra[{label}]: {tail}", file=sys.stderr)
+        except Exception as e:
+            print(f"# extra[{label}] failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    py = sys.executable
+    run("aloha_bf16", [py, "bench.py"],
+        {"OPENVLA_BENCH_GEOMETRY": "aloha", "OPENVLA_BENCH_QUANT": "bf16"},
+        pattern="# bf16:")
+    run("aloha_int8", [py, "bench.py"],
+        {"OPENVLA_BENCH_GEOMETRY": "aloha", "OPENVLA_BENCH_QUANT": "int8"},
+        pattern="# int8:")
+    run("diffusion_int8",
+        [py, "vla_scripts/bench_diffusion.py", "--quant", "int8", "--k", "4"],
+        pattern="diffusion[")
+    run("diffusion_int4",
+        [py, "vla_scripts/bench_diffusion.py", "--quant", "int4", "--k", "4"],
+        pattern="diffusion[")
 
 
 if __name__ == "__main__":

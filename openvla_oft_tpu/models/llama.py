@@ -279,6 +279,8 @@ def _index_layer(layers: Params, i: jnp.ndarray) -> Params:
                 if "kernel_q4" in v:
                     out[name] = {leaf_name: (leaf if leaf_name in
                                              ("kernel_q4", "scale_w4")
+                                             else rec(leaf)
+                                             if isinstance(leaf, dict)
                                              else leaf[i])
                                  for leaf_name, leaf in v.items()}
                     out[name]["layer_idx"] = i

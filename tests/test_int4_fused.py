@@ -217,3 +217,96 @@ def test_group_adaptation_shapes():
                             q["kernel_q4"], q["scale_w4"])
     assert out.shape == (2, 8)
     np.testing.assert_allclose(np.asarray(out), 4304.0, rtol=2e-2)
+
+
+def _tiny_int4_llama(rng):
+    from openvla_oft_tpu.config import LlamaConfig
+    from openvla_oft_tpu.models import llama as llama_mod
+    from openvla_oft_tpu.models.llama import init_llama_params
+    from openvla_oft_tpu.ops.quant import quantize_tree
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=512, intermediate_size=512,
+                      num_layers=2, num_heads=4, num_kv_heads=4,
+                      max_position_embeddings=128)
+    params = dict(init_llama_params(jax.random.PRNGKey(0), cfg,
+                                    dtype=jnp.float32))
+    params["layers"] = quantize_tree(params["layers"], min_dim=512, bits=4)
+    assert llama_mod._has_int4(params["layers"])
+    return cfg, params, llama_mod
+
+
+def test_int4_prefill_by_index_scan_matches_sliced(rng):
+    """llama_prefill with int4 layers (by-index scan) == sliced-scan path on
+    the same quantized params (advisor r4: this branch had no parity test)."""
+    from openvla_oft_tpu.models.llama import KVCache, llama_prefill
+
+    cfg, params, llama_mod = _tiny_int4_llama(rng)
+    b, s = 1, 6
+    x = jnp.asarray(rng.normal(size=(b, s, 512)) * 0.02, jnp.float32)
+    cache = KVCache.create(cfg, b, 16, dtype=jnp.float32)
+
+    out, c_out = llama_prefill(params, cfg, x, cache)
+    orig = llama_mod._has_int4
+    llama_mod._has_int4 = lambda layers: False
+    try:
+        ref, c_ref = llama_prefill(params, cfg, x, cache)
+    finally:
+        llama_mod._has_int4 = orig
+    tol = 3e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=tol,
+                               atol=tol * np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(c_out.k), np.asarray(c_ref.k),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(c_out.v), np.asarray(c_ref.v),
+                               rtol=tol, atol=tol)
+
+
+def test_int4_decode_step_by_index_scan_matches_sliced(rng):
+    """llama_decode_step int4 branch == sliced-scan path (advisor r4)."""
+    from openvla_oft_tpu.models.llama import KVCache, llama_decode_step, \
+        llama_prefill
+
+    cfg, params, llama_mod = _tiny_int4_llama(rng)
+    b = 1
+    x = jnp.asarray(rng.normal(size=(b, 4, 512)) * 0.02, jnp.float32)
+    cache = KVCache.create(cfg, b, 16, dtype=jnp.float32)
+    _, cache = llama_prefill(params, cfg, x, cache)
+    tok = jnp.asarray(rng.normal(size=(b, 1, 512)) * 0.02, jnp.float32)
+
+    out, c_out = llama_decode_step(params, cfg, tok, cache)
+    orig = llama_mod._has_int4
+    llama_mod._has_int4 = lambda layers: False
+    try:
+        ref, c_ref = llama_decode_step(params, cfg, tok, cache)
+    finally:
+        llama_mod._has_int4 = orig
+    tol = 3e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=tol,
+                               atol=tol * np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(c_out.k), np.asarray(c_ref.k),
+                               rtol=tol, atol=tol)
+
+
+def test_index_layer_recurses_nested_dicts():
+    """_index_layer must recurse into dict-valued entries living beside a
+    packed kernel instead of indexing them as array leaves (advisor r4)."""
+    from openvla_oft_tpu.models.llama import _index_layer
+
+    L = 3
+    layers = {
+        "attn": {
+            "wq": {
+                "kernel_q4": jnp.zeros((L, 8, 16), jnp.int8),
+                "scale_w4": jnp.zeros((L, 1, 16), jnp.float32),
+                "extra": {"sub": jnp.arange(L * 2.0).reshape(L, 2)},
+            },
+        },
+        "plain": {"kernel": jnp.arange(L * 4.0).reshape(L, 4)},
+    }
+    out = _index_layer(layers, jnp.asarray(1))
+    assert out["attn"]["wq"]["kernel_q4"].shape == (L, 8, 16)  # stays stacked
+    assert int(out["attn"]["wq"]["layer_idx"]) == 1
+    np.testing.assert_array_equal(np.asarray(out["attn"]["wq"]["extra"]["sub"]),
+                                  np.asarray([2.0, 3.0]))
+    np.testing.assert_array_equal(np.asarray(out["plain"]["kernel"]),
+                                  np.asarray([4.0, 5.0, 6.0, 7.0]))
