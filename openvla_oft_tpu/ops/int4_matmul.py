@@ -365,3 +365,228 @@ def _stacked_bwd(res, g):
 
 
 int4_matmul_fused_stacked.defvjp(_stacked_fwd, _stacked_bwd)
+
+
+# === W4A8 variant: int8 MXU dots, group scales applied to the OUTPUT ========
+#
+# Roofline (round-5 probe, vla_scripts/exp_int4_probe.py): at decode width
+# T≈112 the W4A16 kernel above is MXU-bound, not DMA-bound — its bf16 dots
+# floor at 2·T·K·N / 197e12 (gate_up: 0.105 ms), ABOVE the halved int4 DMA
+# floor (0.055 ms), so streaming half the bytes cannot show up end-to-end
+# (measured: int4 diffusion 725 ms/chunk vs int8 623). The fix is to run
+# the dots on the MXU's int8 path (394 TOPS on v5e, 2x the bf16 rate):
+# quantize activations per-token to int8 (same dynamic absmax the int8 path
+# uses), dot int8ximt8 -> int32 PER SCALE GROUP, and apply the group scale
+# to the (bt, bn) OUTPUT partial — f32 weight tiles never exist. Numerics
+# become W4A8 (vs W4A16 above): the same trade production int4 serving
+# makes (bitsandbytes/AWQ W4A8 kernels; reference openvla_utils.py:282-303
+# `load_in_4bit`). Opt in via OPENVLA_INT4_A8=1 (ops/quant.int4_linear).
+#
+# Group-dot layout: original K rows [g*group, (g+1)*group) of the weight
+# live as packed rows [g*g2, (g+1)*g2) — low nibbles = even K, high = odd.
+# Concatenating [xe_g | xo_g] column-wise and [lo_g ; hi_g] row-wise forms
+# one K-depth = group (=128) int8 dot per group: full MXU depth, exact
+# int32 accumulation, one VPU f32 mul-add per output element per group.
+
+
+def _kernel_a8(xe_ref, xo_ref, pk_ref, sc_ref, out_ref, *, g2: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = pk_ref[:].astype(jnp.int32)                   # (bk2, bn)
+    lo8 = jnp.right_shift(jnp.left_shift(w, 28), 28).astype(jnp.int8)
+    hi8 = jnp.right_shift(w, 4).astype(jnp.int8)
+
+    bk2, bn = w.shape
+    gb = bk2 // g2
+    sc = sc_ref[:]                                    # (gb, bn) f32
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(gb):                               # static unroll
+        rows = slice(g * g2, (g + 1) * g2)
+        xg = jnp.concatenate([xe_ref[:, rows], xo_ref[:, rows]], axis=1)
+        wg = jnp.concatenate([lo8[rows], hi8[rows]], axis=0)
+        part = jax.lax.dot_general(
+            xg, wg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + part.astype(jnp.float32) * sc[g][None, :]
+    out_ref[:] += acc
+
+
+def _quantize_act_rows(x2: jnp.ndarray):
+    """Per-token symmetric int8 (same scheme as quant._int8_matmul)."""
+    xf = x2.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    q = jnp.clip(jnp.round(xf / jnp.maximum(sx, 1e-12)), -127, 127
+                 ).astype(jnp.int8)
+    return q, sx
+
+
+@functools.partial(jax.jit, static_argnames=("block_k2", "block_n",
+                                             "interpret"))
+def _int4_matmul_a8_2d(x2: jnp.ndarray, packed: jnp.ndarray,
+                       scales: jnp.ndarray, *, block_k2: int,
+                       block_n: int, interpret: bool) -> jnp.ndarray:
+    t, k_dim = x2.shape
+    k2, n = packed.shape
+    g2 = k2 // scales.shape[0]
+
+    import math
+
+    unit = math.lcm(g2, 128)
+    bk2 = max(unit, (min(block_k2, k2) // unit) * unit)
+    bn = min(block_n, -(-n // 128) * 128)
+
+    x8, sx = _quantize_act_rows(x2)
+    xe = _pad_axis(x8[:, 0::2], 1, bk2)
+    xo = _pad_axis(x8[:, 1::2], 1, bk2)
+    tp = max(32, -(-t // 32) * 32)                     # int8 sublane tile
+    bt = min(tp, 512)
+    tp = -(-tp // bt) * bt
+    xe = _pad_axis(xe, 0, tp)
+    xo = _pad_axis(xo, 0, tp)
+    pk = _pad_axis(_pad_axis(packed, 0, bk2), 1, bn)
+    sc = _pad_axis(_pad_axis(scales, 0, bk2 // g2), 1, bn)
+
+    k2p, np_ = pk.shape
+    grid = (tp // bt, np_ // bn, k2p // bk2)
+    gb = bk2 // g2
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_a8, g2=g2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, bk2), lambda ti, i, j: (ti, j)),
+            pl.BlockSpec((bt, bk2), lambda ti, i, j: (ti, j)),
+            pl.BlockSpec((bk2, bn), lambda ti, i, j: (j, i)),
+            pl.BlockSpec((gb, bn), lambda ti, i, j: (j, i)),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda ti, i, j: (ti, i)),
+        out_shape=jax.ShapeDtypeStruct((tp, np_), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * 2 * k2p * np_,
+            bytes_accessed=k2p * np_ + xe.size * 2 + tp * np_ * 4,
+            transcendentals=0,
+        ),
+    )(xe, xo, pk, sc)
+    return out[:t, :n] * sx
+
+
+@jax.custom_vjp
+def int4_matmul_fused_a8(x: jnp.ndarray, packed: jnp.ndarray,
+                         scales: jnp.ndarray) -> jnp.ndarray:
+    """W4A8: y = q8(x) @ dequant-int8(packed) * scales, int8 MXU dots.
+
+    Same operand contract as int4_matmul_fused; activations are
+    per-token-absmax int8 (straight-through backward, like int8_linear)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    interpret = jax.devices()[0].platform not in ("tpu",)
+    out = _int4_matmul_a8_2d(x2, packed, scales.astype(jnp.float32),
+                             block_k2=512, block_n=512, interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def _a8_fwd(x, packed, scales):
+    return (int4_matmul_fused_a8(x, packed, scales),
+            (packed, scales, jnp.zeros((0,), x.dtype)))
+
+
+int4_matmul_fused_a8.defvjp(_a8_fwd, _fused_bwd)
+
+
+def _kernel_stacked_a8(layer_ref, xe_ref, xo_ref, pk_ref, sc_ref, out_ref,
+                       *, g2: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = pk_ref[0].astype(jnp.int32)                   # (bk2, bn)
+    lo8 = jnp.right_shift(jnp.left_shift(w, 28), 28).astype(jnp.int8)
+    hi8 = jnp.right_shift(w, 4).astype(jnp.int8)
+
+    bk2, bn = w.shape
+    gb = bk2 // g2
+    sc = sc_ref[0]                                    # (gb, bn) f32
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(gb):
+        rows = slice(g * g2, (g + 1) * g2)
+        xg = jnp.concatenate([xe_ref[:, rows], xo_ref[:, rows]], axis=1)
+        wg = jnp.concatenate([lo8[rows], hi8[rows]], axis=0)
+        part = jax.lax.dot_general(
+            xg, wg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + part.astype(jnp.float32) * sc[g][None, :]
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4_matmul_stacked_a8_2d(x2: jnp.ndarray, packed: jnp.ndarray,
+                               scales: jnp.ndarray, layer: jnp.ndarray,
+                               *, interpret: bool) -> jnp.ndarray:
+    t, k_dim = x2.shape
+    _, k2, n = packed.shape
+    g2 = k2 // scales.shape[-2]
+    bk2, bn = _stacked_blocks(k2, n, g2)
+    gb = bk2 // g2
+
+    x8, sx = _quantize_act_rows(x2)
+    xe = _pad_axis(x8[:, 0::2], 1, bk2)
+    xo = _pad_axis(x8[:, 1::2], 1, bk2)
+    tp = max(32, -(-t // 32) * 32)                     # int8 sublane tile
+    bt = min(tp, 512 if bk2 <= 2048 else 128)
+    tp = -(-tp // bt) * bt
+    xe = _pad_axis(xe, 0, tp)
+    xo = _pad_axis(xo, 0, tp)
+
+    grid = (tp // bt, n // bn, k2 // bk2)
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked_a8, g2=g2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bt, bk2), lambda ti, i, j, l: (ti, j)),
+                pl.BlockSpec((bt, bk2), lambda ti, i, j, l: (ti, j)),
+                pl.BlockSpec((1, bk2, bn), lambda ti, i, j, l: (l[0], j, i)),
+                pl.BlockSpec((1, gb, bn), lambda ti, i, j, l: (l[0], j, i)),
+            ],
+            out_specs=pl.BlockSpec((bt, bn), lambda ti, i, j, l: (ti, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((tp, n), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * 2 * k2 * n,
+            bytes_accessed=k2 * n + xe.size * 2 + tp * n * 4,
+            transcendentals=0,
+        ),
+    )(jnp.atleast_1d(layer).astype(jnp.int32), xe, xo, packed,
+      scales.astype(jnp.float32))
+    return out[:t, :n] * sx
+
+
+@jax.custom_vjp
+def int4_matmul_fused_stacked_a8(x: jnp.ndarray, packed: jnp.ndarray,
+                                 scales: jnp.ndarray,
+                                 layer: jnp.ndarray) -> jnp.ndarray:
+    """W4A8 stacked variant (scalar-prefetch layer indexing); see
+    int4_matmul_fused_stacked / int4_matmul_fused_a8."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    interpret = jax.devices()[0].platform not in ("tpu",)
+    out = _int4_matmul_stacked_a8_2d(x2, packed, scales, layer,
+                                     interpret=interpret)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def _stacked_a8_fwd(x, packed, scales, layer):
+    return (int4_matmul_fused_stacked_a8(x, packed, scales, layer),
+            (packed, scales, layer, jnp.zeros((0,), x.dtype)))
+
+
+int4_matmul_fused_stacked_a8.defvjp(_stacked_a8_fwd, _stacked_bwd)

@@ -239,8 +239,17 @@ def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     Quant-aware scale tuning would need a real scale cotangent in
     int4_matmul._fused_bwd/_stacked_bwd first.
     """
+    import os as _os
+
     p = dict(p)
     p["scale_w4"] = jax.lax.stop_gradient(p["scale_w4"])
+    # OPENVLA_INT4_A8=1 (trace-time) switches the fused kernels to W4A8:
+    # per-token int8 activations + int8 MXU dots + group scales on the
+    # OUTPUT (ops/int4_matmul.py "W4A8 variant" — the bf16-dot kernel is
+    # MXU-bound at decode widths, so halved DMA alone cannot win). The XLA
+    # fallback keeps W4A16 numerics; a8 accuracy is validated like int8's
+    # (docs/QUANTIZATION.md).
+    a8 = _os.environ.get("OPENVLA_INT4_A8", "0") == "1"
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
@@ -249,12 +258,14 @@ def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # `_index_layer`): stream blocks straight from the stacked HBM
         # buffer via scalar prefetch — never materialize the layer slice.
         from openvla_oft_tpu.ops.int4_matmul import (
-            int4_matmul_fused_stacked, supports_stacked_fused)
+            int4_matmul_fused_stacked, int4_matmul_fused_stacked_a8,
+            supports_stacked_fused)
 
         if rows <= 1024 and supports_stacked_fused(p["kernel_q4"].shape,
                                                    p["scale_w4"].shape):
-            y = int4_matmul_fused_stacked(x, p["kernel_q4"], p["scale_w4"],
-                                          p["layer_idx"])
+            fn = int4_matmul_fused_stacked_a8 if a8 else \
+                int4_matmul_fused_stacked
+            y = fn(x, p["kernel_q4"], p["scale_w4"], p["layer_idx"])
         else:
             y = _int4_matmul_xla(x, p["kernel_q4"][p["layer_idx"]],
                                  p["scale_w4"][p["layer_idx"]])
@@ -263,9 +274,11 @@ def int4_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         # g2 % 8 guard: the kernel's group reshape needs sublane-tiled
         # groups (see int4_matmul._stacked_blocks); awkward d_in values
         # (g2 < 8) fall back to the XLA dequant.
-        from openvla_oft_tpu.ops.int4_matmul import int4_matmul_fused
+        from openvla_oft_tpu.ops.int4_matmul import (int4_matmul_fused,
+                                                     int4_matmul_fused_a8)
 
-        y = int4_matmul_fused(x, p["kernel_q4"], p["scale_w4"])
+        fn = int4_matmul_fused_a8 if a8 else int4_matmul_fused
+        y = fn(x, p["kernel_q4"], p["scale_w4"])
     else:
         y = _int4_matmul_xla(x, p["kernel_q4"], p["scale_w4"])
     if "bias" in p:

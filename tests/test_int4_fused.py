@@ -310,3 +310,130 @@ def test_index_layer_recurses_nested_dicts():
                                   np.asarray([2.0, 3.0]))
     np.testing.assert_array_equal(np.asarray(out["plain"]["kernel"]),
                                   np.asarray([4.0, 5.0, 6.0, 7.0]))
+
+
+# === W4A8 variant (int8 MXU dots, output group-scaling) =====================
+
+
+def _w4a8_reference(x, q):
+    """Reference W4A8 math in plain numpy: per-token int8 acts, exact int32
+    per-group dots, f32 output scaling."""
+    from openvla_oft_tpu.ops.quant import _unpack_int4
+
+    xf = np.asarray(x, np.float32)
+    sx = np.max(np.abs(xf), axis=-1, keepdims=True) / 127.0
+    x8 = np.clip(np.round(xf / np.maximum(sx, 1e-12)), -127, 127
+                 ).astype(np.int32)
+    w4 = np.asarray(_unpack_int4(q["kernel_q4"]), np.int32)     # (K, N)
+    sc = np.asarray(q["scale_w4"], np.float32)                  # (G, N)
+    k, n = w4.shape
+    g = sc.shape[0]
+    # straightforward per-group loop (tiny shapes)
+    out = np.zeros((x8.shape[0], n), np.float32)
+    gsz = k // g
+    for gi in range(g):
+        rows = slice(gi * gsz, (gi + 1) * gsz)
+        out += (x8[:, rows] @ w4[rows]).astype(np.float32) * sc[gi][None, :]
+    return out * sx
+
+
+@pytest.mark.parametrize("t,k,n", [
+    (112, 256, 384),      # decode-suffix-like
+    (5, 128, 128),        # minimal single block, odd T (int8 sublane pad)
+    (600, 256, 128),      # multi-row-block grid
+])
+def test_a8_matches_reference_math(rng, t, k, n):
+    from openvla_oft_tpu.ops.int4_matmul import int4_matmul_fused_a8
+
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
+    x = rng.normal(size=(t, k)).astype(np.float32)
+    q = quantize_weight_int4(jnp.asarray(w))
+    ref = _w4a8_reference(x, q)
+    out = np.asarray(int4_matmul_fused_a8(jnp.asarray(x),
+                                          q["kernel_q4"], q["scale_w4"]))
+    assert out.shape == (t, n)
+    # int32 dots are exact; the only divergence is f32 association order.
+    np.testing.assert_allclose(out, ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(ref).max())
+
+
+def test_a8_close_to_w4a16(rng):
+    """W4A8 adds ~1/127 relative activation noise on top of W4A16 — the
+    outputs must stay close (this bounds the serving-accuracy delta)."""
+    from openvla_oft_tpu.ops.int4_matmul import (int4_matmul_fused,
+                                                 int4_matmul_fused_a8)
+
+    w = rng.normal(size=(512, 256)).astype(np.float32) * 0.05
+    x = rng.normal(size=(64, 512)).astype(np.float32)
+    q = quantize_weight_int4(jnp.asarray(w))
+    a16 = np.asarray(int4_matmul_fused(jnp.asarray(x, jnp.bfloat16),
+                                       q["kernel_q4"], q["scale_w4"]))
+    a8 = np.asarray(int4_matmul_fused_a8(jnp.asarray(x),
+                                         q["kernel_q4"], q["scale_w4"]))
+    denom = np.abs(a16).max()
+    assert np.abs(a8 - a16).max() / denom < 3e-2
+
+
+def test_a8_stacked_matches_2d(rng):
+    from openvla_oft_tpu.ops.int4_matmul import (int4_matmul_fused_a8,
+                                                 int4_matmul_fused_stacked_a8,
+                                                 supports_stacked_fused)
+
+    L, k, n = 3, 256, 128
+    ws = rng.normal(size=(L, k, n)).astype(np.float32) * 0.05
+    qs = [quantize_weight_int4(jnp.asarray(w)) for w in ws]
+    packed = jnp.stack([q["kernel_q4"] for q in qs])
+    scales = jnp.stack([q["scale_w4"] for q in qs])
+    assert supports_stacked_fused(packed.shape, scales.shape)
+    x = jnp.asarray(rng.normal(size=(7, k)), jnp.float32)
+    for layer in range(L):
+        out = np.asarray(int4_matmul_fused_stacked_a8(
+            x, packed, scales, jnp.asarray(layer)))
+        ref = np.asarray(int4_matmul_fused_a8(
+            x, qs[layer]["kernel_q4"], qs[layer]["scale_w4"]))
+        np.testing.assert_allclose(out, ref, rtol=1e-5,
+                                   atol=1e-5 * np.abs(ref).max())
+
+
+def test_a8_straight_through_grad(rng):
+    """x cotangent flows through the dequantized weight (straight-through,
+    same contract as the W4A16 kernel); packed/scales get zeros."""
+    from openvla_oft_tpu.ops.int4_matmul import int4_matmul_fused_a8
+
+    w = rng.normal(size=(128, 128)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+    q = quantize_weight_int4(jnp.asarray(w))
+
+    def loss(x):
+        return jnp.sum(int4_matmul_fused_a8(x, q["kernel_q4"],
+                                            q["scale_w4"]) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert g.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_a8_dispatch_env(rng, monkeypatch):
+    """int4_linear routes to the a8 kernels iff OPENVLA_INT4_A8=1."""
+    from openvla_oft_tpu.ops import quant as Q
+
+    w = rng.normal(size=(256, 128)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.bfloat16)
+    q = quantize_weight_int4(jnp.asarray(w))
+
+    monkeypatch.setenv("OPENVLA_INT4_A8", "1")
+    out_a8 = np.asarray(Q.int4_linear(q, x), np.float32)
+    monkeypatch.setenv("OPENVLA_INT4_A8", "0")
+    out_a16 = np.asarray(Q.int4_linear(q, x), np.float32)
+
+    from openvla_oft_tpu.ops.int4_matmul import (int4_matmul_fused,
+                                                 int4_matmul_fused_a8)
+    ref_a8 = np.asarray(int4_matmul_fused_a8(x, q["kernel_q4"],
+                                             q["scale_w4"]),
+                        np.float32).astype(jnp.bfloat16).astype(np.float32)
+    ref_a16 = np.asarray(int4_matmul_fused(x, q["kernel_q4"],
+                                           q["scale_w4"]),
+                         np.float32).astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(out_a8, ref_a8)
+    np.testing.assert_array_equal(out_a16, ref_a16)

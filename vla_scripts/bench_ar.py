@@ -61,8 +61,13 @@ from vla_scripts.bench_timing import measure as _measure
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=8)
-    ap.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
+    ap.add_argument("--quant", default=None, choices=[None, "int8", "int4", "int4a8"])
     args = ap.parse_args()
+    if args.quant == "int4a8":
+        # W4A8: same int4 packing, a8 fused kernels (ops/int4_matmul.py)
+        import os as _os
+        _os.environ["OPENVLA_INT4_A8"] = "1"
+        args.quant = "int4"
 
     from openvla_oft_tpu.config import OpenVLAConfig
     from openvla_oft_tpu.constants import LIBERO

@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--old", action="store_true",
                     help="full-prefill-per-step path (round-2 baseline)")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
+    ap.add_argument("--quant", default=None, choices=[None, "int8", "int4", "int4a8"])
     ap.add_argument("--static", action="store_true",
                     help="static int8 activation scales (placeholder values;"
                          " timing-equivalent to the calibrated attach)")
@@ -75,6 +75,11 @@ def main():
                          " ALOHA.md:66), off for libero.")
     ap.add_argument("--k", type=int, default=8)
     args = ap.parse_args()
+    if args.quant == "int4a8":
+        # W4A8: same int4 packing, a8 fused kernels (ops/int4_matmul.py)
+        import os as _os
+        _os.environ["OPENVLA_INT4_A8"] = "1"
+        args.quant = "int4"
 
     from openvla_oft_tpu.config import OpenVLAConfig
     from openvla_oft_tpu.constants import ALOHA, LIBERO

@@ -83,32 +83,53 @@ def main():
                     help="remat policies to sweep (train_step.TrainConfig)")
     ap.add_argument("--bits", type=int, default=8, choices=[8, 4],
                     help="frozen-base quantization (8=int8 MXU, 4=packed)")
+    ap.add_argument("--platform", default="libero",
+                    choices=["libero", "aloha"],
+                    help="aloha = 3 cameras + FiLM, multimodal S≈1169 — the "
+                         "geometry where the flash kernel should win")
+    ap.add_argument("--flash", nargs="+", default=["false"],
+                    choices=["auto", "true", "false"],
+                    help="use_flash settings to sweep (VERDICT r4 #2: "
+                         "measure fwd+bwd flash vs XLA at ALOHA geometry)")
     args = ap.parse_args()
 
+    import dataclasses
+
     from __graft_entry__ import _flagship_cfg
-    from openvla_oft_tpu.constants import LIBERO
+    from openvla_oft_tpu.constants import ALOHA, LIBERO
     from openvla_oft_tpu.training.train_step import (TrainConfig,
                                                      make_optimizer,
                                                      train_step)
 
     cfg = _flagship_cfg()
     platform = LIBERO
+    if args.platform == "aloha":
+        platform = ALOHA
+        cfg = dataclasses.replace(cfg, num_images_in_input=3, use_film=True)
 
-    # ~S after multimodal assembly: prompt(~26) + 512 patches + proprio +
-    # chunk+1; the train layout pads the text bucket to 64.
-    s_text = 64
+    # Text bucket ≈ prompt(~26) + chunk*action_dim action placeholders +
+    # stop, padded to a multiple of 8 (the real collator's layout):
+    # LIBERO 26+56+1 -> 88; ALOHA 26+350+1 -> 384. Multimodal S =
+    # bucket + 256*num_images + 1 proprio => LIBERO ≈601, ALOHA ≈1153
+    # (the serving path's S≈618/1169 with its larger prompt bucket).
+    s_text = 88 if args.platform == "libero" else 384
 
     def sync(x):
         leaf = jax.tree_util.tree_leaves(x)[0]
         return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
 
+    flash_settings = [{"true": True, "false": False}.get(f, "auto")
+                      for f in args.flash]
+
     for policy in args.remat:
+      for use_flash in flash_settings:
         tcfg = TrainConfig(objective="l1", lora_rank=32, lora_alpha=16.0,
                            learning_rate=5e-4, remat_policy=policy)
         tx = make_optimizer(tcfg)
 
         step = jax.jit(
-            lambda st, bt: train_step(st, bt, cfg, platform, tcfg, tx=tx),
+            lambda st, bt: train_step(st, bt, cfg, platform, tcfg, tx=tx,
+                                      use_flash=use_flash),
             donate_argnums=(0,))
 
         for b in args.batches:
@@ -122,7 +143,8 @@ def main():
                 st2, m = step(state, batch)
                 sync(m)
             except Exception as e:  # OOM at this (policy, b) — report, move on
-                print(f"remat={policy} bits={args.bits} b={b}: FAILED "
+                print(f"remat={policy} bits={args.bits} flash={use_flash} "
+                      f"b={b}: FAILED "
                       f"({type(e).__name__}: {str(e)[:400]}\n"
                       f"  ...tail: {str(e)[-1800:]})", flush=True)
                 del batch, state
@@ -149,9 +171,13 @@ def main():
             # 'attn_out' still recomputes the MLPs (~the FLOP bulk): call it 8.
             factor = 8 if policy in ("all", "attn_out") else 6
             n_par = 6.9e9
-            toks = b * 609
+            # multimodal rows: text bucket + 256*num_images patches +
+            # proprio token (training layout; LIBERO 577, ALOHA 833 —
+            # labels/action positions live inside the text bucket)
+            toks = b * (s_text + 256 * cfg.num_images_in_input + 1)
             mfu = factor * n_par * toks / (ms / 1e3) / 394e12
-            print(f"remat={policy} bits={args.bits} b={b}: {ms:8.1f} ms/step  "
+            print(f"remat={policy} bits={args.bits} flash={use_flash} "
+                  f"b={b}: {ms:8.1f} ms/step  "
                   f"compile {compile_s:5.1f}s  tok/s {toks / (ms / 1e3):7.0f}  "
                   f"MFU~{mfu * 100:4.1f}%", flush=True)
             del st2, m, batch
