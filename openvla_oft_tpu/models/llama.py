@@ -569,19 +569,36 @@ def llama_suffix_forward(
     (modeling_prismatic.py:827-860). Returns post-final-norm hidden states
     (B, S_suf, D).
     """
+    import os as _os
+
     b, s, _ = suffix_embeds.shape
     h, hd = cfg.num_heads, cfg.head_dim
     sin, cos = rope_sin_cos(positions, cfg.head_dim, cfg.rope_theta)
 
     x = suffix_embeds
 
+    # OPENVLA_SPLIT_KV=1 (trace-time): attend prefix and suffix K/V as two
+    # online-softmax blocks (ops/attention.attention_split_kv) instead of
+    # concatenating — skips the ~10 MB/layer/step concat write+reread, a
+    # fixed cost that weighs more as the weight stream shrinks under quant.
+    split_kv = _os.environ.get("OPENVLA_SPLIT_KV", "0") == "1"
+    t_pre = prefix_k.shape[2]
+
     def step(x, p, pk, pv):
         xa = rms_norm(p["attn_norm"], x, cfg.rms_norm_eps)
         q, k, v = _qkv_proj(p["attn"], cfg, xa)
         q, k = apply_rope(q, sin, cos), apply_rope(k, sin, cos)
-        keys = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
-        vals = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
-        o = attention(q, keys, vals, mask=attn_mask)
+        if split_kv:
+            from openvla_oft_tpu.ops.attention import attention_split_kv
+
+            o = attention_split_kv(
+                q, pk.astype(k.dtype), pv.astype(v.dtype), k, v,
+                mask_pre=attn_mask[..., :t_pre],
+                mask_suf=attn_mask[..., t_pre:])
+        else:
+            keys = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
+            vals = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
+            o = attention(q, keys, vals, mask=attn_mask)
         x = x + linear(p["attn"]["wo"], o.reshape(b, s, h * hd))
         xm = rms_norm(p["mlp_norm"], x, cfg.rms_norm_eps)
         return x + _mlp(p["mlp"], xm)

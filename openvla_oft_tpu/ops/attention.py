@@ -136,3 +136,66 @@ def attention(
                              & kv[:, None, :])
         mask = allow[:, None]
     return attention_xla(q, k, v, mask=mask, is_causal=is_causal)
+
+
+def attention_split_kv(
+    q: jnp.ndarray,           # (B, S, H, D)
+    pk: jnp.ndarray,          # (B, Tp, Hkv, D) cached prefix keys
+    pv: jnp.ndarray,          # (B, Tp, Hkv, D)
+    k: jnp.ndarray,           # (B, Ss, Hkv, D) fresh suffix keys
+    v: jnp.ndarray,           # (B, Ss, Hkv, D)
+    mask_pre: Optional[jnp.ndarray] = None,   # bcast to (B, H, S, Tp)
+    mask_suf: Optional[jnp.ndarray] = None,   # bcast to (B, H, S, Ss)
+) -> jnp.ndarray:
+    """Attention over [prefix-KV ++ suffix-KV] WITHOUT materializing the
+    concatenated cache (two-block online-softmax merge).
+
+    The diffusion suffix loop (models/llama.py::llama_suffix_forward) runs
+    50 DDIM steps x 32 layers; concatenating (Tp+Ss)-row K/V per layer per
+    step writes+rereads ~10 MB/layer of HBM that this merge never touches —
+    a fixed per-step cost that grows in relative weight as the weight
+    stream shrinks (bf16 -> int8 -> int4). Math: standard two-block
+    flash-style merge — per-block max/sum-exp/weighted-V, then renormalize:
+        m = max(m_p, m_s);  out = (o_p*e^(m_p-m) + o_s*e^(m_s-m)) /
+                                  (s_p*e^(m_p-m) + s_s*e^(m_s-m))
+    fp32 softmax exactly like attention_xla. Returns (B, S, H, D) q.dtype.
+    """
+    b, s, h, d = q.shape
+    hkv = pk.shape[2]
+    if hkv != h:
+        rep = h // hkv
+        pk = jnp.repeat(pk, rep, axis=2)
+        pv = jnp.repeat(pv, rep, axis=2)
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = d ** -0.5
+
+    def block(keys, vals, mask):
+        logits = jnp.einsum("bshd,bthd->bhst", q, keys,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = jnp.where(mask, logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)        # (B,H,S,1)
+        # Fully-masked rows: exp(NEG_INF - NEG_INF) = 1 would pollute the
+        # merge; pin max to 0 so the block contributes e^{m}=0 weight.
+        dead = m <= _NEG_INF * 0.5
+        m = jnp.where(dead, 0.0, m)
+        p = jnp.exp(logits - m)
+        p = jnp.where(dead, 0.0, p)
+        ssum = jnp.sum(p, axis=-1)                         # (B,H,S)
+        o = jnp.einsum("bhst,bthd->bhsd", p.astype(vals.dtype), vals,
+                       preferred_element_type=jnp.float32)
+        return m[..., 0], ssum, o, dead[..., 0]
+
+    m_p, s_p, o_p, dead_p = block(pk, pv, mask_pre)
+    m_s, s_s, o_s, dead_s = block(k, v, mask_suf)
+    # A dead block must not win the max: replace its max with the live one.
+    m_p = jnp.where(dead_p, m_s, m_p)
+    m_s = jnp.where(dead_s, m_p, m_s)
+    m = jnp.maximum(m_p, m_s)
+    a_p = jnp.where(dead_p, 0.0, jnp.exp(m_p - m))
+    a_s = jnp.where(dead_s, 0.0, jnp.exp(m_s - m))
+    denom = s_p * a_p + s_s * a_s
+    denom = jnp.maximum(denom, 1e-30)
+    out = (o_p * a_p[..., None] + o_s * a_s[..., None]) / denom[..., None]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)

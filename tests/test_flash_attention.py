@@ -224,3 +224,114 @@ def test_flash_backward_under_remat_and_mesh(rng):
 
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     _assert_grads_close(gf, gx)
+
+
+# === split-KV two-block merge (diffusion suffix loop) =======================
+
+
+class TestSplitKV:
+    def _mk(self, rng, b=2, s=5, tp=7, h=4, hkv=None, d=8):
+        hkv = hkv or h
+        q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        pk = jnp.asarray(rng.normal(size=(b, tp, hkv, d)), jnp.float32)
+        pv = jnp.asarray(rng.normal(size=(b, tp, hkv, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.float32)
+        return q, pk, pv, k, v
+
+    def _ref(self, q, pk, pv, k, v, mask):
+        from openvla_oft_tpu.ops.attention import attention_xla
+
+        keys = jnp.concatenate([pk, k], axis=1)
+        vals = jnp.concatenate([pv, v], axis=1)
+        return attention_xla(q, keys, vals, mask=mask)
+
+    def test_matches_concat_no_mask(self):
+        from openvla_oft_tpu.ops.attention import attention_split_kv
+
+        rng = np.random.default_rng(3)
+        q, pk, pv, k, v = self._mk(rng)
+        out = attention_split_kv(q, pk, pv, k, v)
+        ref = self._ref(q, pk, pv, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_matches_concat_block_bidir_mask(self):
+        """The real suffix mask: causal prompt + bidirectional chunk block,
+        prefix fully visible (models/prismatic.py::diffusion_suffix_step)."""
+        from openvla_oft_tpu.ops.attention import attention_split_kv
+
+        rng = np.random.default_rng(4)
+        b, s, tp = 2, 6, 9
+        q, pk, pv, k, v = self._mk(rng, b=b, s=s, tp=tp)
+        suf = np.tril(np.ones((s, s), bool))
+        suf[:, 3:] = True          # bidirectional chunk block rows 3..
+        suf[2, 0] = False          # arbitrary extra hole
+        mask = np.concatenate([np.ones((s, tp), bool), suf], axis=1)
+        mask = jnp.asarray(np.broadcast_to(mask, (b, 1, s, tp + s)))
+        out = attention_split_kv(q, pk, pv, k, v,
+                                 mask_pre=mask[..., :tp],
+                                 mask_suf=mask[..., tp:])
+        ref = self._ref(q, pk, pv, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_fully_masked_block(self):
+        """Rows whose PREFIX block is fully masked must ignore it (the merge
+        weight for a dead block is exactly 0, not exp(-inf - -inf))."""
+        from openvla_oft_tpu.ops.attention import attention_split_kv
+
+        rng = np.random.default_rng(5)
+        b, s, tp = 1, 4, 6
+        q, pk, pv, k, v = self._mk(rng, b=b, s=s, tp=tp)
+        mask_pre = np.ones((b, 1, s, tp), bool)
+        mask_pre[:, :, 1] = False          # row 1 sees no prefix
+        mask_suf = np.ones((b, 1, s, s), bool)
+        out = attention_split_kv(q, pk, pv, k, v,
+                                 mask_pre=jnp.asarray(mask_pre),
+                                 mask_suf=jnp.asarray(mask_suf))
+        mask = jnp.asarray(np.concatenate([mask_pre,
+                                           np.ones((b, 1, s, s), bool)],
+                                          axis=-1))
+        ref = self._ref(q, pk, pv, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_gqa(self):
+        from openvla_oft_tpu.ops.attention import attention_split_kv
+
+        rng = np.random.default_rng(6)
+        q, pk, pv, k, v = self._mk(rng, h=4, hkv=2)
+        out = attention_split_kv(q, pk, pv, k, v)
+        ref = self._ref(q, jnp.repeat(pk, 2, 2), jnp.repeat(pv, 2, 2),
+                        jnp.repeat(k, 2, 2), jnp.repeat(v, 2, 2), None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_suffix_forward_env_parity(self, monkeypatch):
+        """llama_suffix_forward with OPENVLA_SPLIT_KV=1 == concat path."""
+        from openvla_oft_tpu.config import LlamaConfig
+        from openvla_oft_tpu.models.llama import (init_llama_params,
+                                                  llama_suffix_forward)
+
+        rng = np.random.default_rng(7)
+        cfg = LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                          num_layers=2, num_heads=4, num_kv_heads=4,
+                          max_position_embeddings=64)
+        params = dict(init_llama_params(jax.random.PRNGKey(0), cfg,
+                                        dtype=jnp.float32))
+        b, s, tp = 1, 5, 8
+        L, hkv, hd = 2, 4, 16
+        x = jnp.asarray(rng.normal(size=(b, s, 64)) * 0.1, jnp.float32)
+        pk = jnp.asarray(rng.normal(size=(L, b, tp, hkv, hd)) * 0.1,
+                         jnp.float32)
+        pv = jnp.asarray(rng.normal(size=(L, b, tp, hkv, hd)) * 0.1,
+                         jnp.float32)
+        pos = jnp.arange(tp, tp + s)[None].astype(jnp.int32)
+        mask = jnp.ones((b, 1, s, tp + s), bool)
+        ref = llama_suffix_forward(params, cfg, x, pk, pv, pos, mask)
+        monkeypatch.setenv("OPENVLA_SPLIT_KV", "1")
+        out = llama_suffix_forward(params, cfg, x, pk, pv, pos, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
