@@ -197,8 +197,9 @@ def _extra_rows():
     run("diffusion_int8",
         [py, "vla_scripts/bench_diffusion.py", "--quant", "int8", "--k", "4"],
         pattern="diffusion[")
-    run("diffusion_int4",
-        [py, "vla_scripts/bench_diffusion.py", "--quant", "int4", "--k", "4"],
+    run("diffusion_int4a8",
+        [py, "vla_scripts/bench_diffusion.py", "--quant", "int4a8",
+         "--k", "4"],
         pattern="diffusion[")
 
 

@@ -389,6 +389,50 @@ int4_matmul_fused_stacked.defvjp(_stacked_fwd, _stacked_bwd)
 # int32 accumulation, one VPU f32 mul-add per output element per group.
 
 
+def _a8_group_accumulate(xe, xo, w32, sc, g2: int, out_shape):
+    """Shared W4A8 block body: unpack nibbles to int8, one full-depth int8
+    MXU dot per scale group, group scale applied to the int32 partial.
+
+    Unrolls small group counts (pipeline-friendly); falls back to a
+    fori_loop with dynamic slices above _A8_MAX_UNROLL groups (e.g. the 7B
+    down projection's whole-K2 column has 86 groups — an 86-way unroll
+    would blow up Mosaic compile time)."""
+    lo8 = jnp.right_shift(jnp.left_shift(w32, 28), 28).astype(jnp.int8)
+    hi8 = jnp.right_shift(w32, 4).astype(jnp.int8)
+    bk2, bn = w32.shape
+    gb = bk2 // g2
+
+    def group_partial(xe_g, xo_g, lo_g, hi_g, sc_g):
+        xg = jnp.concatenate([xe_g, xo_g], axis=1)
+        wg = jnp.concatenate([lo_g, hi_g], axis=0)
+        part = jax.lax.dot_general(
+            xg, wg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return part.astype(jnp.float32) * sc_g
+
+    acc = jnp.zeros(out_shape, jnp.float32)
+    if gb <= _A8_MAX_UNROLL:
+        for g in range(gb):                           # static unroll
+            rows = slice(g * g2, (g + 1) * g2)
+            acc = acc + group_partial(xe[:, rows], xo[:, rows],
+                                      lo8[rows], hi8[rows], sc[g][None, :])
+        return acc
+
+    def body(g, acc):
+        r0 = g * g2
+        return acc + group_partial(
+            jax.lax.dynamic_slice_in_dim(xe, r0, g2, 1),
+            jax.lax.dynamic_slice_in_dim(xo, r0, g2, 1),
+            jax.lax.dynamic_slice_in_dim(lo8, r0, g2, 0),
+            jax.lax.dynamic_slice_in_dim(hi8, r0, g2, 0),
+            jax.lax.dynamic_slice_in_dim(sc, g, 1, 0))
+
+    return jax.lax.fori_loop(0, gb, body, acc)
+
+
+_A8_MAX_UNROLL = 32
+
+
 def _kernel_a8(xe_ref, xo_ref, pk_ref, sc_ref, out_ref, *, g2: int):
     k = pl.program_id(2)
 
@@ -396,23 +440,9 @@ def _kernel_a8(xe_ref, xo_ref, pk_ref, sc_ref, out_ref, *, g2: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w = pk_ref[:].astype(jnp.int32)                   # (bk2, bn)
-    lo8 = jnp.right_shift(jnp.left_shift(w, 28), 28).astype(jnp.int8)
-    hi8 = jnp.right_shift(w, 4).astype(jnp.int8)
-
-    bk2, bn = w.shape
-    gb = bk2 // g2
-    sc = sc_ref[:]                                    # (gb, bn) f32
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for g in range(gb):                               # static unroll
-        rows = slice(g * g2, (g + 1) * g2)
-        xg = jnp.concatenate([xe_ref[:, rows], xo_ref[:, rows]], axis=1)
-        wg = jnp.concatenate([lo8[rows], hi8[rows]], axis=0)
-        part = jax.lax.dot_general(
-            xg, wg, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc = acc + part.astype(jnp.float32) * sc[g][None, :]
-    out_ref[:] += acc
+    out_ref[:] += _a8_group_accumulate(xe_ref[:], xo_ref[:],
+                                       pk_ref[:].astype(jnp.int32),
+                                       sc_ref[:], g2, out_ref.shape)
 
 
 def _quantize_act_rows(x2: jnp.ndarray):
@@ -506,23 +536,9 @@ def _kernel_stacked_a8(layer_ref, xe_ref, xo_ref, pk_ref, sc_ref, out_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w = pk_ref[0].astype(jnp.int32)                   # (bk2, bn)
-    lo8 = jnp.right_shift(jnp.left_shift(w, 28), 28).astype(jnp.int8)
-    hi8 = jnp.right_shift(w, 4).astype(jnp.int8)
-
-    bk2, bn = w.shape
-    gb = bk2 // g2
-    sc = sc_ref[0]                                    # (gb, bn) f32
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for g in range(gb):
-        rows = slice(g * g2, (g + 1) * g2)
-        xg = jnp.concatenate([xe_ref[:, rows], xo_ref[:, rows]], axis=1)
-        wg = jnp.concatenate([lo8[rows], hi8[rows]], axis=0)
-        part = jax.lax.dot_general(
-            xg, wg, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc = acc + part.astype(jnp.float32) * sc[g][None, :]
-    out_ref[:] += acc
+    out_ref[:] += _a8_group_accumulate(xe_ref[:], xo_ref[:],
+                                       pk_ref[0].astype(jnp.int32),
+                                       sc_ref[0], g2, out_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
