@@ -393,10 +393,7 @@ def _a8_group_accumulate(xe, xo, w32, sc, g2: int, out_shape):
     """Shared W4A8 block body: unpack nibbles to int8, one full-depth int8
     MXU dot per scale group, group scale applied to the int32 partial.
 
-    Unrolls small group counts (pipeline-friendly); falls back to a
-    fori_loop with dynamic slices above _A8_MAX_UNROLL groups (e.g. the 7B
-    down projection's whole-K2 column has 86 groups — an 86-way unroll
-    would blow up Mosaic compile time)."""
+"""
     lo8 = jnp.right_shift(jnp.left_shift(w32, 28), 28).astype(jnp.int8)
     hi8 = jnp.right_shift(w32, 4).astype(jnp.int8)
     bk2, bn = w32.shape
@@ -410,27 +407,17 @@ def _a8_group_accumulate(xe, xo, w32, sc, g2: int, out_shape):
             preferred_element_type=jnp.int32)
         return part.astype(jnp.float32) * sc_g
 
+    # Static unroll for ALL group counts: a fori_loop body needs
+    # dynamic_slice, which Mosaic TC kernels do not lower (measured on the
+    # chip: "Unimplemented primitive ... dynamic_slice"). The worst case —
+    # the 7B down projection's whole-K2 column, 86 groups — compiles
+    # (slowly) as an 86-way unroll; acceptable for an opt-in kernel.
     acc = jnp.zeros(out_shape, jnp.float32)
-    if gb <= _A8_MAX_UNROLL:
-        for g in range(gb):                           # static unroll
-            rows = slice(g * g2, (g + 1) * g2)
-            acc = acc + group_partial(xe[:, rows], xo[:, rows],
-                                      lo8[rows], hi8[rows], sc[g][None, :])
-        return acc
-
-    def body(g, acc):
-        r0 = g * g2
-        return acc + group_partial(
-            jax.lax.dynamic_slice_in_dim(xe, r0, g2, 1),
-            jax.lax.dynamic_slice_in_dim(xo, r0, g2, 1),
-            jax.lax.dynamic_slice_in_dim(lo8, r0, g2, 0),
-            jax.lax.dynamic_slice_in_dim(hi8, r0, g2, 0),
-            jax.lax.dynamic_slice_in_dim(sc, g, 1, 0))
-
-    return jax.lax.fori_loop(0, gb, body, acc)
-
-
-_A8_MAX_UNROLL = 32
+    for g in range(gb):
+        rows = slice(g * g2, (g + 1) * g2)
+        acc = acc + group_partial(xe[:, rows], xo[:, rows],
+                                  lo8[rows], hi8[rows], sc[g][None, :])
+    return acc
 
 
 def _kernel_a8(xe_ref, xo_ref, pk_ref, sc_ref, out_ref, *, g2: int):

@@ -439,23 +439,19 @@ def test_a8_dispatch_env(rng, monkeypatch):
     np.testing.assert_array_equal(out_a16, ref_a16)
 
 
-def test_a8_fori_path_matches_unrolled(rng, monkeypatch):
-    """Group counts above _A8_MAX_UNROLL take a fori_loop with dynamic
-    slices (the 7B down projection's whole-K2 column has 86 groups); the
-    two paths must agree exactly."""
+def test_a8_many_groups_unrolled(rng):
+    """Large group counts (the 7B down projection's whole-K2 column has 86)
+    stay on the static unroll — fori_loop bodies need dynamic_slice, which
+    Mosaic TC kernels refuse to lower (measured on chip). Check a 16-group
+    block against the reference math."""
     from openvla_oft_tpu.ops import int4_matmul as M
 
-    k, n = 512, 256          # group 128 -> g2=64 -> gb=4 per 512-block
+    k, n = 2048, 128         # group 128 -> g2=64 -> gb=16 in a 1024-block
     w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
-    x = jnp.asarray(rng.normal(size=(16, k)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, k)), jnp.float32)
     q = quantize_weight_int4(jnp.asarray(w))
-    ref = np.asarray(M.int4_matmul_fused_a8(x, q["kernel_q4"],
-                                            q["scale_w4"]))
-    monkeypatch.setattr(M, "_A8_MAX_UNROLL", 1)
-    M._int4_matmul_a8_2d.clear_cache()
     out = np.asarray(M.int4_matmul_fused_a8(x, q["kernel_q4"],
                                             q["scale_w4"]))
-    M._int4_matmul_a8_2d.clear_cache()
-    # identical math; only FMA contraction order differs between the
-    # unrolled and fori-compiled forms -> ULP-level tolerance
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    ref = _w4a8_reference(np.asarray(x), q)
+    np.testing.assert_allclose(out, ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(ref).max())

@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 
 from vla_scripts.bench_timing import measure
 from openvla_oft_tpu.ops.int4_matmul import (_pad_axis, int4_matmul_fused,
+                                             int4_matmul_fused_a8,
                                              int4_matmul_fused_stacked)
 from openvla_oft_tpu.ops.quant import (int8_linear, quantize_weight,
                                        quantize_weight_int4)
@@ -164,6 +165,11 @@ def main() -> None:
                 (x, q4["kernel_q4"], q4["scale_w4"])),
             "group-dots": ((lambda xx, kq, sw: _probe_call(
                 xx, kq, sw, mode="group-dots")),
+                (x, q4["kernel_q4"], q4["scale_w4"])),
+            # W4A8 production kernel (int8 MXU dots, output group-scaling):
+            # expected to clear the bf16-dot MXU floor that pins "fused".
+            "a8-fused": ((lambda xx, kq, sw: int4_matmul_fused_a8(
+                xx.astype(jnp.float32), kq, sw)),
                 (x, q4["kernel_q4"], q4["scale_w4"])),
         }
         for vname, (fn, fargs) in variants.items():
