@@ -240,7 +240,7 @@ def _stacked_blocks(k2: int, n: int, g2: int):
         # g2 % 8: the kernel's (bk2,bn)->(gb,g2,bn) reshape is layout-free
         # only when g2 is a multiple of the f32 sublane tile (advisor r4).
         return None
-    bns = [128 * m for m in range(min(n // 128, 4), 0, -1) if n % (128 * m) == 0]
+    bns = [128 * m for m in range(min(n // 128, 8), 0, -1) if n % (128 * m) == 0]
     if not bns:
         return None
     bk2 = 0
@@ -250,7 +250,15 @@ def _stacked_blocks(k2: int, n: int, g2: int):
             bk2 = cand
             break
     if bk2:
-        return (bk2, bns[0])
+        # Prefer the largest bn whose resident set fits: fewer grid blocks
+        # amortize per-block pipeline overhead, which dominates at decode
+        # widths (measured: AR int4 15 ms/token vs the 3.7 ms DMA floor).
+        bt = 128  # row-block cap in _int4_matmul_stacked_2d
+        for bn in bns:
+            vmem = 2 * (bk2 * bn + 2 * 2 * bt * bk2 + 4 * bt * bn)
+            if vmem <= 10 * 1024 * 1024:
+                return (bk2, bn)
+        return (bk2, bns[-1])
     # Whole-K2 column: scales block covers the full G dim (e.g. llama-7B's
     # down projection, K2=5504 = 128*43 — no 8*g2-aligned divisor). The
     # resident set is the packed block PLUS the two bf16 x-half blocks and
@@ -288,9 +296,10 @@ def _int4_matmul_stacked_2d(x2: jnp.ndarray, packed: jnp.ndarray,
     xe = _pad_axis(x2[:, 0::2].astype(dot_dtype), 1, bk2)
     xo = _pad_axis(x2[:, 1::2].astype(dot_dtype), 1, bk2)
     tp = max(16, -(-t // 16) * 16)
-    # Row-block cap scales down for whole-K2 columns (big bk2) so the two
-    # x blocks + the packed block + accumulators stay inside VMEM.
-    bt = min(tp, 512 if bk2 <= 2048 else 128)
+    # Row-block cap 128: decode widths are <=112 rows; keeping bt small is
+    # what lets _stacked_blocks pick a LARGER bn (fewer grid blocks — the
+    # per-block pipeline overhead dominates at these shapes).
+    bt = min(tp, 128)
     tp = -(-tp // bt) * bt
     xe = _pad_axis(xe, 0, tp)
     xo = _pad_axis(xo, 0, tp)
@@ -542,7 +551,7 @@ def _int4_matmul_stacked_a8_2d(x2: jnp.ndarray, packed: jnp.ndarray,
     xe = _pad_axis(x8[:, 0::2], 1, bk2)
     xo = _pad_axis(x8[:, 1::2], 1, bk2)
     tp = max(32, -(-t // 32) * 32)                     # int8 sublane tile
-    bt = min(tp, 512 if bk2 <= 2048 else 128)
+    bt = min(tp, 128)
     tp = -(-tp // bt) * bt
     xe = _pad_axis(xe, 0, tp)
     xo = _pad_axis(xo, 0, tp)
