@@ -159,12 +159,12 @@ def calibrate(
 
     feat_err, proj_err, hidden_err, deltas = [], [], [], []
     if low_memory:
-        assert bits == 8, "low_memory calibration is int8-only"
         ref = [jax.tree_util.tree_map(np.asarray, stages(base, obs))
                for obs in observations]
         for mod in quant_modules:
             if mod in base:
-                base[mod] = quantize_tree_lowmem(base[mod], min_dim=min_dim)
+                base[mod] = quantize_tree_lowmem(base[mod], min_dim=min_dim,
+                                                 bits=bits)
         for obs, (f0, p0, h0, a0) in zip(observations, ref):
             f1, p1, h1, a1 = stages(base, obs)
             feat_err.append(_rel_err(f1, f0))

@@ -79,12 +79,19 @@ def port_hf_llama(get: Callable[[str], np.ndarray], cfg: LlamaConfig,
         "mlp_norm": {"scale": stack("model.layers.{i}.post_attention_layernorm.weight",
                                     transpose=False)},
     }
-    return {
+    out = {
         "embed": {"embedding": _np(get(prefix + "model.embed_tokens.weight")).astype(dtype)},
         "layers": layers,
         "final_norm": {"scale": _np(get(prefix + "model.norm.weight")).astype(dtype)},
-        "lm_head": {"kernel": _np(get(prefix + "lm_head.weight")).T.astype(dtype)},
     }
+    # lm_head is optional: OFT L1/diffusion serving never reads it, and
+    # head-only exports may omit it (weight-tied models too). AR decoding
+    # requires it — predict_action_autoregressive raises if absent.
+    try:
+        out["lm_head"] = {"kernel": _np(get(prefix + "lm_head.weight")).T.astype(dtype)}
+    except KeyError:
+        pass
+    return out
 
 
 # === Phi-2 (HF `PhiForCausalLM` names -> stacked layer pytree) ===

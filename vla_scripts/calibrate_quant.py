@@ -27,6 +27,9 @@ class CalibrateConfig:
     out: str = ""                       # optional JSON output path
     seed: int = 0
     low_memory: bool = False            # donate bf16 kernels (7B on 16 GB)
+    # comma-separated modules to quantize; int4 deployments quantize the
+    # LLM only (vision stays bf16 — see __graft_entry__ int4 config)
+    modules: str = "llm,vision_backbone,projector"
 
 
 def main(cfg: CalibrateConfig) -> dict:
@@ -76,7 +79,10 @@ def main(cfg: CalibrateConfig) -> dict:
     obs = random_observations(model_cfg, platform, n=cfg.n_observations,
                               seed=cfg.seed)
     report = calibrate(model_cfg, platform, params, obs, bits=cfg.bits,
-                       min_dim=min_dim, low_memory=cfg.low_memory)
+                       min_dim=min_dim, low_memory=cfg.low_memory,
+                       quant_modules=tuple(
+                           m.strip() for m in cfg.modules.split(",")
+                           if m.strip()))
     text = json.dumps(report, indent=2)
     print(text)
     if cfg.out:

@@ -55,7 +55,8 @@ def _assert_trees_bitwise(a, b, path=""):
         f"only-reimport={sorted(kb.keys() - ka.keys())[:5]}")
     n_bytes = 0
     for k in ka:
-        x, y = np.asarray(ka[k]), np.asarray(kb[k])
+        x = np.ascontiguousarray(np.asarray(ka[k]))
+        y = np.ascontiguousarray(np.asarray(kb[k]))
         assert x.dtype == y.dtype, f"{path}{k}: dtype {x.dtype} vs {y.dtype}"
         assert x.shape == y.shape, f"{path}{k}: shape {x.shape} vs {y.shape}"
         if not np.array_equal(x.view(np.uint8), y.view(np.uint8)):
@@ -105,9 +106,14 @@ def main():
 
     # --- 1. random-init on device + forward ---------------------------------
     t0 = time.perf_counter()
+    # with_lm_head=False on DEVICE: bf16 7B + lm_head + fp32 heads +
+    # forward workspace exceeds the 16 GB chip (measured RESOURCE_EXHAUSTED
+    # on the first forward). The lm_head STILL round-trips: a host-side
+    # numpy copy is inserted into the export tree below — the released
+    # checkpoints carry it, but the OFT L1 serving path never reads it.
     params = init_openvla_params(jax.random.PRNGKey(11), cfg, platform,
                                  dtype=jnp.bfloat16, head="l1",
-                                 with_lm_head=True, head_dtype=jnp.float32)
+                                 with_lm_head=False, head_dtype=jnp.float32)
     # The released checkpoints store the projector INSIDE model.safetensors
     # at the backbone dtype (bf16); the heads ship as fp32 `.pt` modules.
     params["projector"] = jax.tree_util.tree_map(
@@ -142,6 +148,15 @@ def main():
     core = {"llm": params["llm"], "projector": params["projector"],
             "vision_backbone": params["vision_backbone"]}
     host_core = _tree_to_host(core)
+    if args.scale == "7b" and "lm_head" not in host_core["llm"]:
+        import ml_dtypes
+
+        lm_rng = np.random.default_rng(17)
+        host_core["llm"] = dict(host_core["llm"])
+        host_core["llm"]["lm_head"] = {"kernel": (
+            lm_rng.standard_normal((cfg.llm.hidden_size, cfg.llm.vocab_size),
+                                   np.float32) * 0.02
+        ).astype(ml_dtypes.bfloat16)}
     export_openvla_checkpoint(cfg, host_core, str(out_dir),
                               norm_stats={"libero_synth": {}})
     step = 150000  # the released LIBERO checkpoints' step (LIBERO.md:41-45)
@@ -169,6 +184,12 @@ def main():
             find_checkpoint_file(str(out_dir), "proprio_projector")))
     assert "libero_synth" in (norm_stats or {}), "norm_stats lost in transit"
     print(f"[roundtrip] re-import: {time.perf_counter()-t0:.1f}s")
+    # Pull the lm_head back to host for the bitwise check, then free the
+    # device copy before the forward (same 16 GB constraint as above).
+    lm_reimported = None
+    if "lm_head" in params2["llm"]:
+        lm_reimported = _tree_to_host(params2["llm"].pop("lm_head"))
+        gc.collect()
 
     # --- 4a. bitwise round-trip check (host) --------------------------------
     t0 = time.perf_counter()
@@ -177,6 +198,9 @@ def main():
         "projector": _tree_to_host(params2["projector"]),
         "vision_backbone": _tree_to_host(params2["vision_backbone"]),
     }
+    if lm_reimported is not None:
+        reimported_host["llm"] = dict(reimported_host["llm"])
+        reimported_host["llm"]["lm_head"] = lm_reimported
     n = _assert_trees_bitwise(host_core, reimported_host)
     n += _assert_trees_bitwise(host_head, _tree_to_host(params2["action_head"]))
     n += _assert_trees_bitwise(host_proprio,
