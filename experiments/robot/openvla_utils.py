@@ -103,6 +103,22 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
             head=head if head != "discrete" else None,
             with_lm_head=(head == "discrete"))
         norm_stats = None
+        if os.environ.get("OPENVLA_FAKE_NORM_STATS", "0") == "1":
+            # Bench/smoke aid: identity-bounds statistics under the key
+            # "{platform}_bench" so the FULL serving path — including
+            # un-normalization and proprio normalization — runs against a
+            # random: checkpoint (vla_scripts/bench_deploy.py). Real
+            # checkpoints always carry their own stats; this never
+            # engages for them.
+            dim, pdim = platform.action_dim, platform.proprio_dim
+            ones = [1.0] * dim
+            norm_stats = {f"{platform.name}_bench": {
+                "action": {"q01": [-1.0] * dim, "q99": ones,
+                           "min": [-1.0] * dim, "max": ones,
+                           "mask": [True] * (dim - 1) + [False]},
+                "proprio": {"q01": [-1.0] * pdim, "q99": [1.0] * pdim,
+                            "min": [-1.0] * pdim, "max": [1.0] * pdim},
+            }}
     else:
         if not os.path.isdir(ckpt):
             # Hub-id checkpoint (reference model_is_on_hf_hub +

@@ -109,6 +109,7 @@ def calibrate(
     quant_modules: Sequence[str] = ("llm", "vision_backbone", "projector"),
     use_fused: bool = True,
     low_memory: bool = False,
+    weight_errors: bool = True,
 ) -> Dict[str, Any]:
     """Full calibration report for a parameter tree.
 
@@ -135,13 +136,18 @@ def calibrate(
         # model. (A norm-scale fold would NOT be: it scales kernel rows.)
         base["llm"] = fuse_inference_weights(base["llm"], fold_norms=False)
 
-    # weight errors first: per-layer, on-device, tiny transients
+    # weight errors first: per-layer, on-device, tiny transients.
+    # weight_errors=False skips the pass: at 7B-bf16-resident + bits=4 the
+    # per-layer quantize/dequant transients tip the 16 GB chip over
+    # (measured RESOURCE_EXHAUSTED); the activation/action deltas below are
+    # the quantities that matter.
     w_err = {}
-    for mod in quant_modules:
-        if mod in base:
-            for path, errs in weight_quant_errors(
-                    base[mod], min_dim=min_dim, bits=bits).items():
-                w_err[f"{mod}/{path}"] = errs
+    if weight_errors:
+        for mod in quant_modules:
+            if mod in base:
+                for path, errs in weight_quant_errors(
+                        base[mod], min_dim=min_dim, bits=bits).items():
+                    w_err[f"{mod}/{path}"] = errs
 
     @jax.jit
     def stages(p, obs):

@@ -93,11 +93,14 @@ def main():
                "--device_preprocess", "True",
                "--load_in_8bit", str(args.quant == "int8"),
                # platform is detected from hint strings (openvla_utils.py::
-               # _platform_from_cfg); random:7b has no norm_stats so the
-               # unnorm_key startup assert does not fire.
+               # _platform_from_cfg); the key matches the synthetic stats
+               # entry get_vla creates under OPENVLA_FAKE_NORM_STATS=1.
                "--unnorm_key", f"{args.platform}_bench",
                ]
         env = dict(os.environ)
+        # random:7b carries no dataset statistics; synthesize identity
+        # bounds so the full unnorm path runs (openvla_utils.get_vla).
+        env["OPENVLA_FAKE_NORM_STATS"] = "1"
         log = open("/tmp/bench_deploy_server.log", "w")
         proc = subprocess.Popen(cmd, cwd=repo, env=env, stdout=log,
                                 stderr=subprocess.STDOUT)

@@ -30,6 +30,7 @@ class CalibrateConfig:
     # comma-separated modules to quantize; int4 deployments quantize the
     # LLM only (vision stays bf16 — see __graft_entry__ int4 config)
     modules: str = "llm,vision_backbone,projector"
+    weight_errors: bool = True          # per-layer weight-error pass
 
 
 def main(cfg: CalibrateConfig) -> dict:
@@ -80,6 +81,7 @@ def main(cfg: CalibrateConfig) -> dict:
                               seed=cfg.seed)
     report = calibrate(model_cfg, platform, params, obs, bits=cfg.bits,
                        min_dim=min_dim, low_memory=cfg.low_memory,
+                       weight_errors=cfg.weight_errors,
                        quant_modules=tuple(
                            m.strip() for m in cfg.modules.split(",")
                            if m.strip()))
