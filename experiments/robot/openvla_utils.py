@@ -98,10 +98,24 @@ def get_vla(cfg: Any) -> OpenVLAPolicy:
             model_cfg = OpenVLAConfig(
                 num_images_in_input=getattr(cfg, "num_images_in_input", 1),
                 use_film=getattr(cfg, "use_film", False))
-        params = init_openvla_params(
-            jax.random.PRNGKey(0), model_cfg, platform, dtype=jnp.bfloat16,
-            head=head if head != "discrete" else None,
-            with_lm_head=(head == "discrete"))
+        if os.environ.get("OPENVLA_ZERO_INIT", "0") == "1":
+            # Latency-bench aid: materialize the flagship SHAPES as zeros
+            # via eval_shape (no host RNG, no 13.5 GB random materialization
+            # — same trick as __graft_entry__._cheap_params). Latency is
+            # value-independent; accuracy paths must not set this.
+            shapes = jax.eval_shape(lambda: init_openvla_params(
+                jax.random.PRNGKey(0), model_cfg, platform,
+                dtype=jnp.bfloat16,
+                head=head if head != "discrete" else None,
+                with_lm_head=(head == "discrete")))
+            params = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        else:
+            params = init_openvla_params(
+                jax.random.PRNGKey(0), model_cfg, platform,
+                dtype=jnp.bfloat16,
+                head=head if head != "discrete" else None,
+                with_lm_head=(head == "discrete"))
         norm_stats = None
         if os.environ.get("OPENVLA_FAKE_NORM_STATS", "0") == "1":
             # Bench/smoke aid: identity-bounds statistics under the key

@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--port", type=int, default=8777)
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--quant", default="int8", choices=["bf16", "int8"])
+    ap.add_argument("--model", default="7b", choices=["7b", "tiny"],
+                    help="tiny = random:tiny server: measures the WIRE+host "
+                         "overhead exactly (device time is the bench.py "
+                         "number); 7b needs ~13.5 GB free HBM at startup")
     ap.add_argument("--num_images", type=int, default=2)
     ap.add_argument("--platform", default="libero",
                     choices=["libero", "aloha"])
@@ -86,7 +90,7 @@ def main():
     if not args.no_server:
         repo = Path(__file__).resolve().parents[1]
         cmd = [sys.executable, "-u", str(repo / "vla_scripts/deploy.py"),
-               "--pretrained_checkpoint", "random:7b",
+               "--pretrained_checkpoint", f"random:{args.model}",
                "--host", "127.0.0.1", "--port", str(args.port),
                "--num_images_in_input", str(args.num_images),
                "--use_proprio", "True",
@@ -101,6 +105,10 @@ def main():
         # random:7b carries no dataset statistics; synthesize identity
         # bounds so the full unnorm path runs (openvla_utils.get_vla).
         env["OPENVLA_FAKE_NORM_STATS"] = "1"
+        # zeros via eval_shape: latency is value-independent, and the full
+        # 13.5 GB random bf16 init can exceed the chip's free HBM when the
+        # tunnel's real capacity is degraded (observed 12 GB).
+        env["OPENVLA_ZERO_INIT"] = "1"
         log = open("/tmp/bench_deploy_server.log", "w")
         proc = subprocess.Popen(cmd, cwd=repo, env=env, stdout=log,
                                 stderr=subprocess.STDOUT)
@@ -144,9 +152,11 @@ def main():
         resp = post_act(url, body, timeout=120)
         t1 = time.perf_counter()
         out = json_numpy.loads(resp.decode())
-        if isinstance(out, str) and not args.double_encode:
-            raise RuntimeError(f"server error: {out[:200]}")
-        if args.double_encode:
+        if isinstance(out, str):
+            if out == "error" or not args.double_encode:
+                raise RuntimeError(f"server error: {out[:200]}")
+            # double-encode: second decode unwraps the inner json-numpy
+            # string (some server stacks already unwrap one level)
             out = json_numpy.loads(out)
         t2 = time.perf_counter()
         lat.append((t1 - t0) * 1e3)
@@ -162,6 +172,7 @@ def main():
     summary = {
         "metric": "http_act_latency",
         "platform": args.platform,
+        "model": args.model,
         "quant": args.quant,
         "n": args.n,
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
