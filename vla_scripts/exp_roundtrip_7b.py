@@ -73,6 +73,13 @@ def main():
     ap.add_argument("--out", default="/tmp/roundtrip_7b")
     ap.add_argument("--keep", action="store_true",
                     help="keep the exported checkpoint dir")
+    ap.add_argument("--no_forward", action="store_true",
+                    help="skip the predict_action equality forward. Per-leaf "
+                         "BITWISE identity subsumes it (deterministic "
+                         "programs on identical weights); the forward check "
+                         "is still exercised at --scale tiny. Lets the 7B "
+                         "drill run host-only (JAX_PLATFORMS=cpu) when the "
+                         "chip lacks 13.5 GB free for params + workspace.")
     args = ap.parse_args()
 
     import openvla_oft_tpu.config as C
@@ -138,10 +145,15 @@ def main():
                                out.actions_hidden.astype(jnp.bfloat16),
                                platform)
 
-    fwd = jax.jit(forward)
-    a0 = np.asarray(fwd(params))
-    print(f"[roundtrip] init+forward: {time.perf_counter()-t0:.1f}s "
-          f"actions {a0.shape} mean {float(np.asarray(a0, np.float32).mean()):+.6f}")
+    a0 = None
+    if not args.no_forward:
+        fwd = jax.jit(forward)
+        a0 = np.asarray(fwd(params))
+    print(f"[roundtrip] init{'' if args.no_forward else '+forward'}: "
+          f"{time.perf_counter()-t0:.1f}s"
+          + ("" if a0 is None else
+             f" actions {a0.shape} mean "
+             f"{float(np.asarray(a0, np.float32).mean()):+.6f}"))
 
     # --- 2. export (module-streamed device -> host -> disk) -----------------
     t0 = time.perf_counter()
@@ -170,7 +182,7 @@ def main():
           f"{sorted(f.name for f in out_dir.iterdir())})")
 
     # --- 3. free the device tree, re-import from disk -----------------------
-    del params, core, fwd
+    del params, core
     gc.collect()
     t0 = time.perf_counter()
     cfg2, params2, norm_stats = load_openvla_checkpoint(
@@ -211,6 +223,13 @@ def main():
           f"({time.perf_counter()-t0:.1f}s)")
 
     # --- 4b. forward equality (device) --------------------------------------
+    if args.no_forward:
+        print("[roundtrip] forward equality: SKIPPED (--no_forward; implied "
+              "by per-leaf bitwise identity, exercised at --scale tiny)")
+        print(f"[roundtrip] OK scale={args.scale}")
+        if not args.keep:
+            shutil.rmtree(out_dir)
+        return
     fwd2 = jax.jit(forward)
     a1 = np.asarray(fwd2(params2))
     assert a0.dtype == a1.dtype and np.array_equal(
