@@ -34,7 +34,15 @@ class CalibrateConfig:
 
 
 def main(cfg: CalibrateConfig) -> dict:
+    import os
+
     import jax
+
+    if os.environ.get("OPENVLA_FORCE_CPU", "0") == "1":
+        # axon sitecustomize overrides JAX_PLATFORMS; pin host CPU via
+        # jax.config (host-RAM calibration when the chip lacks 13.6 GB
+        # free for the bf16 reference pass).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import openvla_oft_tpu.config as C

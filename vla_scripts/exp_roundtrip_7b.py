@@ -33,10 +33,19 @@ import time
 from pathlib import Path
 
 import numpy as np
+import os
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
+
+if os.environ.get("OPENVLA_FORCE_CPU", "0") == "1":
+    # The axon sitecustomize overrides JAX_PLATFORMS; jax.config as the
+    # first jax call is the reliable way to pin host CPU (the 7B
+    # --no_forward drill is host-only: 128 GB RAM vs the tunnel's
+    # fluctuating free HBM).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
