@@ -65,7 +65,10 @@ def post_act(url: str, body: bytes, timeout: float):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--port", type=int, default=8777)
+    ap.add_argument("--port", type=int, default=0,
+                    help="0 = pick a free ephemeral port (a stale server "
+                         "from an earlier run answering on a fixed port "
+                         "would silently bench the WRONG config)")
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--quant", default="int8", choices=["bf16", "int8"])
     ap.add_argument("--model", default="7b", choices=["7b", "tiny"],
@@ -81,6 +84,13 @@ def main():
                     help="assume a server is already listening on --port")
     ap.add_argument("--startup_timeout", type=float, default=900.0)
     args = ap.parse_args()
+
+    if args.port == 0:
+        import socket
+
+        with socket.socket() as sk:
+            sk.bind(("127.0.0.1", 0))
+            args.port = sk.getsockname()[1]
 
     proprio_dim = {"libero": 8, "aloha": 14}[args.platform]
     obs = make_observation(args.num_images, proprio_dim)

@@ -95,6 +95,9 @@ class OpenVLAServer:
                 f"Action un-norm key {cfg.unnorm_key} not found in norm_stats!"
         self.processor = get_processor(cfg)
         self._get_vla_action = get_vla_action
+        print(f"[deploy] platform={self.vla.platform.name} "
+              f"proprio_dim={self.vla.platform.proprio_dim} "
+              f"norm_stats={list(self.vla.norm_stats or {})}")
         self._server = ActionServer(self.predict)
         if cfg.warmup:
             self._warmup()
